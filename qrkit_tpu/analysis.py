@@ -1,0 +1,197 @@
+"""Host-side structure analysis: orderings + block detection.
+
+TPU-native re-design of the reference's analysis layer:
+
+* ``column_density``      — SparseQROrdering::ColumnDensity
+  (/root/reference/src/QRKit/SparseQROrdering.h:22-50)
+* ``as_banded_as_possible`` — SparseQROrdering::AsBandedAsPossible
+  (/root/reference/src/QRKit/SparseQROrdering.h:52-120)
+* ``block_banded_info``   — SparseQRUtils::BlockBandedMatrixInfo::operator()
+  + mergeBlocks (/root/reference/src/QRKit/SparseQRUtils.h:179-386)
+* ``from_block_diagonal_pattern`` / ``from_block_banded_pattern`` — the
+  known-structure fast paths (SparseQRUtils.h:255-302).
+
+All of it runs on the host over CSR index arrays (NumPy with an optional C++
+native backend, see qrkit_tpu/_native.py) and produces a static
+:class:`~qrkit_tpu.plan.StructurePlan` that parameterizes the jitted device code.
+The analysis is pure pattern work — no floating point — so there is no reason to
+put it on the TPU; it is the "compiler front-end" of the framework.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from .plan import BlockInfo, StructurePlan
+from .sparse import Permutation, SparseCSR
+
+__all__ = [
+    "column_density",
+    "as_banded_as_possible",
+    "block_banded_info",
+    "from_block_diagonal_pattern",
+    "from_block_banded_pattern",
+]
+
+
+def column_density(mat: SparseCSR) -> Permutation:
+    """Column permutation sorting columns by ascending nonzero count (stable).
+
+    Returns P such that ``mat.permute_cols(P)`` has its densest columns last —
+    used by the thin sparse QR to push dense columns right.
+    """
+    counts = mat.col_nnz()
+    order = np.argsort(counts, kind="stable")  # order[newIdx] = origIdx
+    indices = np.empty(mat.ncols, dtype=np.int64)
+    indices[order] = np.arange(mat.ncols)  # indices[origIdx] = newIdx
+    return Permutation(indices)
+
+
+def as_banded_as_possible(mat: SparseCSR) -> Tuple[Permutation, bool]:
+    """Row permutation stable-sorting rows by their band start column.
+
+    Returns (P, has_permutation); ``mat.permute_rows(P)`` is as-banded-as-possible.
+    """
+    starts, _ = mat.row_ranges()
+    has_perm = bool(np.any(np.diff(starts) < 0))
+    order = np.argsort(starts, kind="stable")  # order[newIdx] = origIdx
+    indices = np.empty(mat.nrows, dtype=np.int64)
+    indices[order] = np.arange(mat.nrows)
+    return Permutation(indices), has_perm
+
+
+def _merge_blocks(
+    blocks: List[BlockInfo], max_col_step: int, suggested_block_cols: int
+) -> List[BlockInfo]:
+    """Merge candidate blocks into valid portrait panels.
+
+    Faithful to SparseQRUtils.h mergeBlocks (:308-385): merge until each block is
+    (a) portrait (nrows > ncols), (b) at least ``max_col_step`` columns wide and
+    (c) at least ``suggested_block_cols`` columns wide; blocks column-contained in
+    the previous emitted block are folded into it; a trailing remainder that can't
+    stand alone is folded into the last emitted block.
+    """
+    new_blocks: List[BlockInfo] = []
+    first: Optional[BlockInfo] = None
+    curr_rows = curr_cols = 0
+
+    for curr in blocks:
+        if new_blocks:
+            last = new_blocks[-1]
+            if curr.col + curr.ncols <= last.col + last.ncols:
+                new_blocks[-1] = BlockInfo(
+                    last.row, last.col, last.nrows + curr.nrows, last.ncols
+                )
+                continue
+        if first is None:
+            first = curr
+            curr_rows, curr_cols = curr.nrows, curr.ncols
+        else:
+            curr_rows = curr.row + curr.nrows - first.row
+            curr_cols = curr.col + curr.ncols - first.col
+
+        if (
+            curr_rows > curr_cols
+            and curr_cols >= max_col_step
+            and curr_cols >= suggested_block_cols
+        ):
+            new_blocks.append(BlockInfo(first.row, first.col, curr_rows, curr_cols))
+            first = None
+
+    if first is not None:
+        if (
+            curr_rows > curr_cols
+            and curr_cols >= max_col_step
+            and curr_cols >= suggested_block_cols
+        ):
+            new_blocks.append(BlockInfo(first.row, first.col, curr_rows, curr_cols))
+        else:
+            last = new_blocks[-1]
+            new_blocks[-1] = BlockInfo(
+                last.row,
+                last.col,
+                last.nrows + curr_rows,
+                first.col + curr_cols - last.col,
+            )
+    return new_blocks
+
+
+def block_banded_info(mat: SparseCSR, suggested_block_cols: int = 2) -> StructurePlan:
+    """Detect the block-banded structure of an (already row-sorted) matrix.
+
+    Mirrors BlockBandedMatrixInfo::operator() (SparseQRUtils.h:186-253):
+    per-row bands are grouped by band-start column into candidate blocks (width =
+    max band width among the group's rows, height = group size), then merged.
+    """
+    starts, ends = mat.row_ranges()
+    ncols = mat.ncols
+
+    # max band width / row count per distinct start column
+    valid = starts < ncols  # empty rows (start == ncols) form zero blocks: ignored
+    widths = ends - starts + 1
+
+    # maxColStep over consecutive rows (reference includes all rows)
+    if mat.nrows > 1:
+        steps = np.diff(starts)
+        max_col_step = int(steps.max(initial=0))
+        max_col_step = max(max_col_step, 0)
+    else:
+        max_col_step = 0
+
+    blocks: List[BlockInfo] = []
+    seen = {}
+    order: List[int] = []
+    first_row = {}
+    for row_idx in range(mat.nrows):
+        s = int(starts[row_idx])
+        if s >= ncols:
+            continue
+        if s not in seen:
+            seen[s] = [0, int(widths[row_idx])]
+            first_row[s] = row_idx
+            order.append(s)
+        seen[s][0] += 1
+        seen[s][1] = max(seen[s][1], int(widths[row_idx]))
+
+    nnz_q = 0
+    for s in order:
+        h, w = seen[s]
+        blocks.append(BlockInfo(first_row[s], s, h, w))
+        nnz_q += h * h
+
+    merged = _merge_blocks(blocks, max_col_step, suggested_block_cols)
+    return StructurePlan(mat.nrows, mat.ncols, tuple(merged), nnz_q)
+
+
+def from_block_diagonal_pattern(
+    nrows: int, ncols: int, block_rows: int, block_cols: int
+) -> StructurePlan:
+    """Known block-diagonal structure (SparseQRUtils.h:255-272): no merging."""
+    num_blocks = ncols // block_cols
+    blocks = tuple(
+        BlockInfo(i * block_rows, i * block_cols, block_rows, block_cols)
+        for i in range(num_blocks)
+    )
+    return StructurePlan(nrows, ncols, blocks, num_blocks * block_rows * block_rows)
+
+
+def from_block_banded_pattern(
+    nrows: int,
+    ncols: int,
+    block_rows: int,
+    block_cols: int,
+    block_overlap: int,
+    suggested_block_cols: int = 2,
+) -> StructurePlan:
+    """Known block-banded structure with fixed overlap (SparseQRUtils.h:274-302)."""
+    max_col_step = block_cols - block_overlap
+    num_blocks = ncols // max_col_step
+    blocks = []
+    for i in range(num_blocks):
+        nc = block_cols if i < num_blocks - 1 else block_cols - block_overlap
+        blocks.append(BlockInfo(i * block_rows, i * max_col_step, block_rows, nc))
+    merged = _merge_blocks(blocks, max_col_step, suggested_block_cols)
+    return StructurePlan(
+        nrows, ncols, tuple(merged), num_blocks * block_rows * block_rows
+    )

@@ -1,0 +1,238 @@
+"""Host-side sparse-matrix containers and permutations.
+
+These are *structure-plane* objects: they live on the host (NumPy), are cheap to
+slice/permute, and feed the structure analyzers (`qrkit_tpu.analysis`) that produce
+static, hashable plans parameterizing the jitted device code.  The device compute
+path never sees a sparse matrix — it sees dense padded block panels extracted here.
+
+Reference parity: plays the role of Eigen's `SparseMatrix` + `PermutationMatrix`
+as used by the reference QRKit (e.g. /root/reference/src/QRKit/SparseQRUtils.h,
+SparseQROrdering.h).  Conventions follow Eigen:
+
+* ``Permutation.indices[src] = dest`` — ``P @ v`` scatters ``v[i]`` to ``dest``.
+* ``A @ P`` gathers columns: new column ``i`` = old column ``indices[i]``.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterable, Tuple
+
+import numpy as np
+
+__all__ = ["Permutation", "SparseCSR", "coo_to_csr"]
+
+
+@dataclasses.dataclass(frozen=True)
+class Permutation:
+    """Eigen-style permutation: ``indices[src] = dest``.
+
+    ``apply(v) == P * v`` (Eigen semantics, scatter), and ``inverse().apply``
+    undoes it.  ``permute_cols(M) == M * P`` (gather columns).
+    """
+
+    indices: np.ndarray  # int array, indices[src] = dest
+
+    def __post_init__(self):
+        idx = np.asarray(self.indices, dtype=np.int64)
+        object.__setattr__(self, "indices", idx)
+
+    @staticmethod
+    def identity(n: int) -> "Permutation":
+        return Permutation(np.arange(n, dtype=np.int64))
+
+    @property
+    def size(self) -> int:
+        return int(self.indices.shape[0])
+
+    def is_identity(self) -> bool:
+        return bool(np.all(self.indices == np.arange(self.size)))
+
+    def inverse(self) -> "Permutation":
+        inv = np.empty_like(self.indices)
+        inv[self.indices] = np.arange(self.size)
+        return Permutation(inv)
+
+    # --- application on host arrays -------------------------------------------------
+    def apply(self, v: np.ndarray) -> np.ndarray:
+        """P * v : out[indices[i]] = v[i] (rows scattered)."""
+        out = np.empty_like(v)
+        out[self.indices, ...] = v
+        return out
+
+    def apply_inverse(self, v: np.ndarray) -> np.ndarray:
+        """P^-1 * v : out[i] = v[indices[i]]."""
+        return v[self.indices, ...]
+
+    def permute_rows(self, m: np.ndarray) -> np.ndarray:
+        return self.apply(m)
+
+    def permute_cols(self, m: np.ndarray) -> np.ndarray:
+        """M * P : out[:, i] = M[:, indices[i]]."""
+        return m[..., self.indices]
+
+    # --- composition ---------------------------------------------------------------
+    def then(self, other: "Permutation") -> "Permutation":
+        """Permutation equivalent to applying ``self`` first, then ``other``."""
+        # (other*self)*v : v[i] -> self.ind[i] -> other.ind[self.ind[i]]
+        return Permutation(other.indices[self.indices])
+
+    def gather_indices(self) -> np.ndarray:
+        """``src_of_dest`` array g with ``(P*v)[j] == v[g[j]]`` — device-friendly."""
+        return self.inverse().indices
+
+
+def coo_to_csr(rows, cols, vals, shape) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Build CSR arrays from COO triplets, summing duplicates (Eigen setFromTriplets)."""
+    nrows, ncols = shape
+    rows = np.asarray(rows, dtype=np.int64)
+    cols = np.asarray(cols, dtype=np.int64)
+    vals = np.asarray(vals)
+    order = np.lexsort((cols, rows))
+    rows, cols, vals = rows[order], cols[order], vals[order]
+    if rows.size:
+        # collapse duplicates
+        key_same = np.zeros(rows.size, dtype=bool)
+        key_same[1:] = (rows[1:] == rows[:-1]) & (cols[1:] == cols[:-1])
+        group = np.cumsum(~key_same) - 1
+        ur = np.empty(group[-1] + 1 if rows.size else 0, dtype=np.int64)
+        uc = np.empty_like(ur)
+        uv = np.zeros(ur.shape, dtype=vals.dtype)
+        ur[group] = rows
+        uc[group] = cols
+        np.add.at(uv, group, vals)
+        rows, cols, vals = ur, uc, uv
+    indptr = np.zeros(nrows + 1, dtype=np.int64)
+    np.add.at(indptr, rows + 1, 1)
+    indptr = np.cumsum(indptr)
+    return indptr, cols, vals
+
+
+class SparseCSR:
+    """Minimal host-side CSR matrix (float64 by default).
+
+    Supports exactly what the framework needs: triplet construction, row/col
+    permutation, block slicing to dense, and dense conversion for tests.
+    """
+
+    def __init__(self, shape, indptr, indices, data):
+        self.shape = (int(shape[0]), int(shape[1]))
+        self.indptr = np.asarray(indptr, dtype=np.int64)
+        self.indices = np.asarray(indices, dtype=np.int64)
+        self.data = np.asarray(data)
+
+    # --- constructors ---------------------------------------------------------------
+    @staticmethod
+    def from_triplets(rows, cols, vals, shape) -> "SparseCSR":
+        indptr, indices, data = coo_to_csr(rows, cols, vals, shape)
+        return SparseCSR(shape, indptr, indices, data)
+
+    @staticmethod
+    def from_dense(m: np.ndarray, tol: float = 0.0) -> "SparseCSR":
+        rows, cols = np.nonzero(np.abs(m) > tol)
+        return SparseCSR.from_triplets(rows, cols, m[rows, cols], m.shape)
+
+    # --- basic properties -----------------------------------------------------------
+    @property
+    def nnz(self) -> int:
+        return int(self.data.shape[0])
+
+    @property
+    def nrows(self) -> int:
+        return self.shape[0]
+
+    @property
+    def ncols(self) -> int:
+        return self.shape[1]
+
+    def to_dense(self) -> np.ndarray:
+        out = np.zeros(self.shape, dtype=self.data.dtype if self.nnz else np.float64)
+        row_ids = np.repeat(np.arange(self.nrows), np.diff(self.indptr))
+        out[row_ids, self.indices] = self.data
+        return out
+
+    def row_nnz(self) -> np.ndarray:
+        return np.diff(self.indptr)
+
+    def col_nnz(self) -> np.ndarray:
+        counts = np.zeros(self.ncols, dtype=np.int64)
+        np.add.at(counts, self.indices, 1)
+        return counts
+
+    def row_ranges(self) -> Tuple[np.ndarray, np.ndarray]:
+        """(start, end) column index of first/last nonzero per row.
+
+        Empty rows get ``start = ncols`` and ``end = ncols`` (mirrors the
+        reference treating empty rows as out-of-band,
+        SparseQRUtils.h BlockBandedMatrixInfo::operator()).
+        """
+        starts = np.full(self.nrows, self.ncols, dtype=np.int64)
+        ends = np.full(self.nrows, self.ncols, dtype=np.int64)
+        counts = np.diff(self.indptr)
+        nonempty = counts > 0
+        starts[nonempty] = self.indices[self.indptr[:-1][nonempty]]
+        ends[nonempty] = self.indices[self.indptr[1:][nonempty] - 1]
+        return starts, ends
+
+    # --- permutation / slicing ------------------------------------------------------
+    def permute_rows(self, perm: Permutation) -> "SparseCSR":
+        """P * A — row src goes to row perm.indices[src]."""
+        src_of_dest = perm.gather_indices()
+        counts = np.diff(self.indptr)[src_of_dest]
+        new_indptr = np.zeros(self.nrows + 1, dtype=np.int64)
+        new_indptr[1:] = np.cumsum(counts)
+        new_indices = np.empty_like(self.indices)
+        new_data = np.empty_like(self.data)
+        # vectorized segment copy
+        old_starts = self.indptr[:-1][src_of_dest]
+        pos = np.arange(self.nnz) - np.repeat(new_indptr[:-1], counts)
+        gather = np.repeat(old_starts, counts) + pos
+        new_indices[:] = self.indices[gather]
+        new_data[:] = self.data[gather]
+        return SparseCSR(self.shape, new_indptr, new_indices, new_data)
+
+    def permute_cols(self, perm: Permutation) -> "SparseCSR":
+        """A * P — new column i = old column perm.indices[i] (per-row reorder)."""
+        inv = perm.inverse().indices  # old col -> new col
+        new_cols = inv[self.indices]
+        row_ids = np.repeat(np.arange(self.nrows), np.diff(self.indptr))
+        return SparseCSR.from_triplets(row_ids, new_cols, self.data, self.shape)
+
+    def block_dense(self, r0: int, c0: int, nr: int, nc: int) -> np.ndarray:
+        """Dense copy of the block [r0:r0+nr, c0:c0+nc]."""
+        out = np.zeros((nr, nc), dtype=self.data.dtype if self.nnz else np.float64)
+        for i in range(nr):
+            lo, hi = self.indptr[r0 + i], self.indptr[r0 + i + 1]
+            cols = self.indices[lo:hi]
+            sel = (cols >= c0) & (cols < c0 + nc)
+            out[i, cols[sel] - c0] = self.data[lo:hi][sel]
+        return out
+
+    def blocks_dense(self, blocks, pad_rows: int, pad_cols: int) -> np.ndarray:
+        """Stacked dense panels [nb, pad_rows, pad_cols] for a list of BlockInfo-like
+        tuples (row, col, nrows, ncols); panels zero-padded to uniform shape."""
+        nb = len(blocks)
+        out = np.zeros((nb, pad_rows, pad_cols), dtype=self.data.dtype if self.nnz else np.float64)
+        for k, (r0, c0, nr, nc) in enumerate(blocks):
+            out[k, :nr, :nc] = self.block_dense(r0, c0, nr, nc)
+        return out
+
+    def hstack_dense_block(self, c0: int, nc: int) -> np.ndarray:
+        return self.block_dense(0, c0, self.nrows, nc)
+
+    def slice_cols(self, c0: int, nc: int) -> "SparseCSR":
+        row_ids = np.repeat(np.arange(self.nrows), np.diff(self.indptr))
+        sel = (self.indices >= c0) & (self.indices < c0 + nc)
+        return SparseCSR.from_triplets(
+            row_ids[sel], self.indices[sel] - c0, self.data[sel], (self.nrows, nc)
+        )
+
+    def slice_rows(self, r0: int, nr: int) -> "SparseCSR":
+        lo, hi = self.indptr[r0], self.indptr[r0 + nr]
+        indptr = self.indptr[r0 : r0 + nr + 1] - self.indptr[r0]
+        return SparseCSR((nr, self.ncols), indptr, self.indices[lo:hi], self.data[lo:hi])
+
+    def matvec(self, v: np.ndarray) -> np.ndarray:
+        row_ids = np.repeat(np.arange(self.nrows), np.diff(self.indptr))
+        out = np.zeros(self.nrows, dtype=np.result_type(self.data, v))
+        np.add.at(out, row_ids, self.data * v[self.indices])
+        return out
