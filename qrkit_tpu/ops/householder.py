@@ -1,0 +1,195 @@
+"""Dense panel Householder QR in compact-WY form — the MXU workhorse.
+
+TPU-native replacement for the reference's per-block ``Eigen::HouseholderQR`` +
+``make_block_householder_triangular_factor`` calls
+(/root/reference/src/QRKit/BandedBlockedSparseQR.h:468-477,
+BlockedThinQRBase.h:321-333).  All shapes are static; the per-column loop is
+unrolled at trace time and the trailing updates are matmuls, so a ``vmap`` over a
+block batch turns the whole factorization into large batched GEMMs on the MXU.
+
+Conventions (identical to the reference so factors are interchangeable):
+
+* ``Y`` is unit-lower-trapezoidal ([m, n], implicit ones ON the diagonal stored
+  explicitly, zeros above), the "essential" Householder vectors.
+* ``T`` is the *negated* triangular factor: ``Q = H_0 H_1 ... H_{n-1} = I + Y T Yᵀ``
+  (the reference stores ``T = -T_std``, BandedBlockedSparseQR.h:477).
+* ``Q  v = v + Y (T  (Yᵀ v))``  and  ``Qᵀ v = v + Y (Tᵀ (Yᵀ v))``
+  (BlockYTY.h:152-172, SparseBlockYTY.h:101-139).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "householder_qr_unblocked",
+    "build_t_factor",
+    "panel_qr_yt",
+    "colpiv_householder_qr",
+    "apply_wy",
+    "form_q",
+    "batched_panel_qr_yt",
+]
+
+
+def _householder_column(A: jnp.ndarray, j: int, offset: int):
+    """One Householder reflection eliminating column ``j`` below row ``offset+j``.
+
+    Returns (A_updated, v, tau) with v the full-length reflector (v[pivot]=1,
+    zeros above pivot).  Degenerate columns (zero tail) yield tau = 0 (H = I),
+    matching Eigen's makeHouseholder convention.
+    """
+    m = A.shape[0]
+    dt = A.dtype
+    piv = offset + j
+    col = A[:, j]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (m,), 0)
+    tail_mask = rows > piv
+    x0 = col[piv]
+    tail = jnp.where(tail_mask, col, jnp.zeros((), dt))
+    sigma = jnp.sum(tail * tail)
+    norm = jnp.sqrt(x0 * x0 + sigma)
+    sign = jnp.where(x0 >= 0, jnp.ones((), dt), -jnp.ones((), dt))
+    beta = -sign * norm
+    degenerate = sigma <= jnp.zeros((), dt)
+    safe_denom = jnp.where(degenerate, jnp.ones((), dt), x0 - beta)
+    v = jnp.where(tail_mask, col / safe_denom, jnp.zeros((), dt))
+    v = v.at[piv].set(jnp.ones((), dt))
+    safe_beta = jnp.where(norm == 0, jnp.ones((), dt), beta)
+    tau = jnp.where(degenerate, jnp.zeros((), dt), (beta - x0) / safe_beta)
+    # H A = A - tau v (vᵀ A)
+    w = tau * (v @ A)
+    A = A - jnp.outer(v, w)
+    return A, v, tau
+
+
+def householder_qr_unblocked(
+    A: jnp.ndarray, offset: int = 0
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Unblocked Householder QR of ``A`` [m, n] with pivots on row ``offset + j``.
+
+    Returns (Y [m, n], taus [n], A_reduced [m, n]); ``A_reduced`` holds R in its
+    upper-trapezoidal part (rows ``offset..offset+n``).
+    """
+    m, n = A.shape
+    ys = []
+    taus = []
+    for j in range(n):
+        A, v, tau = _householder_column(A, j, offset)
+        ys.append(v)
+        taus.append(tau)
+    Y = jnp.stack(ys, axis=1) if n else jnp.zeros((m, 0), A.dtype)
+    tau_vec = jnp.stack(taus) if n else jnp.zeros((0,), A.dtype)
+    return Y, tau_vec, A
+
+
+def build_t_factor(Y: jnp.ndarray, taus: jnp.ndarray) -> jnp.ndarray:
+    """Compact-WY triangular factor with the reference's sign convention.
+
+    Computes the standard forward recurrence for T_std (upper triangular,
+    ``H_0..H_{n-1} = I - Y T_std Yᵀ``) and returns ``-T_std`` so that
+    ``Q = I + Y T Yᵀ`` (BandedBlockedSparseQR.h:476-477).
+    """
+    n = Y.shape[1]
+    T = jnp.zeros((n, n), Y.dtype)
+    for j in range(n):
+        tau = taus[j]
+        if j > 0:
+            z = Y[:, :j].T @ Y[:, j]
+            T = T.at[:j, j].set(-tau * (T[:j, :j] @ z))
+        T = T.at[j, j].set(tau)
+    return -T
+
+
+def _combine_t(T1, T2, Y1, Y2):
+    """T for [Y1|Y2] given per-panel factors (negated convention):
+    (I + Y1 T1 Y1ᵀ)(I + Y2 T2 Y2ᵀ) = I + [Y1 Y2] [[T1, T1 Y1ᵀY2 T2],[0, T2]] [..]ᵀ."""
+    n1, n2 = T1.shape[0], T2.shape[0]
+    cross = T1 @ (Y1.T @ Y2) @ T2
+    top = jnp.concatenate([T1, cross], axis=1)
+    bot = jnp.concatenate([jnp.zeros((n2, n1), T1.dtype), T2], axis=1)
+    return jnp.concatenate([top, bot], axis=0)
+
+
+def panel_qr_yt(
+    A: jnp.ndarray, offset: int = 0, panel_width: int = 16
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Blocked compact-WY QR: returns (Y [m, n], T [n, n], R [m, n]).
+
+    Recursively splits wide panels so the trailing update is a single large
+    matmul chain per sub-panel — keeps the MXU fed for thin-QR workloads.
+    ``R`` is the reduced matrix (upper-trapezoidal below row ``offset``).
+    """
+    m, n = A.shape
+    if n <= panel_width:
+        Y, taus, Ared = householder_qr_unblocked(A, offset)
+        return Y, build_t_factor(Y, taus), Ared
+    n1 = n // 2
+    Y1, T1, A1 = panel_qr_yt(A[:, :n1], offset, panel_width)
+    # Qᵀ applied to the trailing columns: A2 ← A2 + Y1 (T1ᵀ (Y1ᵀ A2))
+    A2 = A[:, n1:]
+    A2 = A2 + Y1 @ (T1.T @ (Y1.T @ A2))
+    Y2, T2, A2r = panel_qr_yt(A2, offset + n1, panel_width)
+    Y = jnp.concatenate([Y1, Y2], axis=1)
+    T = _combine_t(T1, T2, Y1, Y2)
+    R = jnp.concatenate([A1, A2r], axis=1)
+    return Y, T, R
+
+
+def colpiv_householder_qr(
+    A: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Column-pivoted Householder QR (Eigen ColPivHouseholderQR analog).
+
+    Greedy max-trailing-norm pivoting with static shapes: the pivot search and
+    column swap are argmax + gather, so the whole routine jits and vmaps.
+    Returns (Y, taus, R, perm) with ``A[:, perm] = Q R`` (perm[j] = original
+    index of the j-th pivot, i.e. Eigen's colsPermutation().indices()).
+    """
+    m, n = A.shape
+    dt = A.dtype
+    perm = jnp.arange(n)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+    norms2 = jnp.sum(A * A, axis=0)
+    ys, taus = [], []
+    for j in range(n):
+        masked = jnp.where(cols >= j, norms2, jnp.full((), -jnp.inf, dt))
+        p = jnp.argmax(masked)
+        # swap columns j <-> p (j static, p traced)
+        swap = jnp.where(cols == j, p, jnp.where(cols == p, j, cols))
+        A = A[:, swap]
+        perm = perm[swap]
+        norms2 = norms2[swap]
+        A, v, tau = _householder_column(A, j, 0)
+        # downdate trailing column norms by the freshly formed R row j
+        rj = jnp.where(cols > j, A[j, :], jnp.zeros((), dt))
+        norms2 = norms2 - rj * rj
+        norms2 = jnp.maximum(norms2, jnp.zeros((), dt))
+        ys.append(v)
+        taus.append(tau)
+    Y = jnp.stack(ys, axis=1) if n else jnp.zeros((m, 0), dt)
+    tau_vec = jnp.stack(taus) if n else jnp.zeros((0,), dt)
+    return Y, tau_vec, A, perm
+
+
+def apply_wy(
+    Y: jnp.ndarray, T: jnp.ndarray, M: jnp.ndarray, transpose: bool = False
+) -> jnp.ndarray:
+    """``Q M`` (or ``Qᵀ M``) for one compact-WY block: M + Y ((T or Tᵀ) (Yᵀ M))."""
+    Tt = T.T if transpose else T
+    return M + Y @ (Tt @ (Y.T @ M))
+
+
+def form_q(Y: jnp.ndarray, T: jnp.ndarray) -> jnp.ndarray:
+    """Explicit dense Q = I + Y T Yᵀ  [m, m]."""
+    m = Y.shape[0]
+    return jnp.eye(m, dtype=Y.dtype) + Y @ (T @ Y.T)
+
+
+@functools.partial(jax.jit, static_argnames=("panel_width",))
+def batched_panel_qr_yt(blocks: jnp.ndarray, panel_width: int = 16):
+    """vmap of :func:`panel_qr_yt` over a [nb, m, n] block batch."""
+    return jax.vmap(lambda a: panel_qr_yt(a, 0, panel_width))(blocks)

@@ -5,7 +5,6 @@ we enable x64 for parity tests.  Multi-device tests use the 8 virtual CPU device
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -14,6 +13,9 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
+# The environment may force-register an accelerator plugin (JAX_PLATFORMS is
+# overridden at interpreter start); pin tests to the virtual CPU mesh explicitly.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import numpy as np
