@@ -1,0 +1,107 @@
+"""Block-diagonal QR solver tests — reproduce reference test 0
+(/root/reference/test/test-qrkit.cpp:167-206) plus extras the reference skips
+(BLOCK_DIAGONAL_Q format, solve() itself, zero-tail rows)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qrkit_tpu.containers import BlockDiagonal
+from qrkit_tpu.solvers import BlockDiagonalQR, QFormat
+
+from generators import block_diagonal_matrix
+
+NUM_VARS = 64
+NUM_PARAMS = NUM_VARS * 2
+NUM_RESIDUALS = NUM_VARS * 3 + NUM_VARS + NUM_VARS * 3  # 7 * NUM_VARS
+
+
+@pytest.fixture
+def spj(rng):
+    return block_diagonal_matrix(NUM_PARAMS, NUM_RESIDUALS, rng, permute_rows=False)
+
+
+def test_full_q(spj, rng):
+    blk = BlockDiagonal.from_block_diagonal_pattern(spj, 7, 2)
+    qr = BlockDiagonalQR(QFormat.FULL_Q).compute(blk)
+
+    dense = spj.to_dense()
+    Q = np.asarray(qr.matrix_q_dense())
+    R = np.asarray(qr.matrix_r_dense())
+    perm = qr.cols_permutation()
+    AP = dense[:, perm.indices]  # A * P
+
+    # Q R == A P,  Qᵀ (A P) == R,  orthogonality
+    assert np.allclose(Q @ R, AP, atol=1e-9)
+    assert np.allclose(np.asarray(qr.apply_qt(jnp.asarray(AP))), R, atol=1e-9)
+    assert np.allclose(Q.T @ Q, np.eye(Q.shape[0]), atol=1e-9)
+    # FULL_Q gives globally upper-triangular R
+    assert np.allclose(np.tril(R, -1), 0.0, atol=1e-12)
+
+    # LS round trip: b = A x_true
+    x_true = rng.normal(size=spj.ncols)
+    b = dense @ x_true
+    x = np.asarray(qr.solve(jnp.asarray(b)))
+    assert np.allclose(x, x_true, atol=1e-8)
+
+
+def test_block_diagonal_q(spj, rng):
+    blk = BlockDiagonal.from_block_diagonal_pattern(spj, 7, 2)
+    qr = BlockDiagonalQR(QFormat.BLOCK_DIAGONAL_Q).compute(blk)
+    dense = spj.to_dense()
+    Q = np.asarray(qr.matrix_q_dense())
+    R = np.asarray(qr.matrix_r_dense())
+    AP = dense[:, qr.cols_permutation().indices]
+    assert np.allclose(Q @ R, AP, atol=1e-9)
+    assert np.allclose(Q.T @ Q, np.eye(Q.shape[0]), atol=1e-9)
+    # block-diagonal Q: nonzeros only inside the diagonal blocks
+    mask = np.ones_like(Q, dtype=bool)
+    for i in range(NUM_PARAMS // 2):
+        mask[i * 7 : (i + 1) * 7, i * 7 : (i + 1) * 7] = False
+    assert np.allclose(Q[mask], 0.0, atol=1e-12)
+
+
+def test_no_pivot(spj, rng):
+    blk = BlockDiagonal.from_block_diagonal_pattern(spj, 7, 2)
+    qr = BlockDiagonalQR(QFormat.FULL_Q, pivot=False).compute(blk)
+    assert qr.cols_permutation().is_identity()
+    dense = spj.to_dense()
+    Q = np.asarray(qr.matrix_q_dense())
+    R = np.asarray(qr.matrix_r_dense())
+    assert np.allclose(Q @ R, dense, atol=1e-9)
+    x_true = rng.normal(size=spj.ncols)
+    x = np.asarray(qr.solve(jnp.asarray(dense @ x_true)))
+    assert np.allclose(x, x_true, atol=1e-8)
+
+
+def test_zero_tail_rows(rng):
+    # matrix with zero rows below the last block -> identity Q tail
+    # (BlockDiagonalSparseQR.h:530-533)
+    from qrkit_tpu.sparse import SparseCSR
+
+    dense = np.zeros((25, 6))
+    for i in range(3):
+        dense[i * 7 : (i + 1) * 7, i * 2 : (i + 1) * 2] = rng.normal(size=(7, 2))
+    mat = SparseCSR.from_dense(dense)
+    blk = BlockDiagonal.from_block_diagonal_pattern(mat, 7, 2)
+    qr = BlockDiagonalQR(QFormat.FULL_Q).compute(blk)
+    Q = np.asarray(qr.matrix_q_dense())
+    R = np.asarray(qr.matrix_r_dense())
+    AP = dense[:, qr.cols_permutation().indices]
+    assert np.allclose(Q @ R, AP, atol=1e-9)
+    assert np.allclose(Q.T @ Q, np.eye(25), atol=1e-9)
+    assert np.allclose(Q[21:, 21:], np.eye(4), atol=1e-12)
+
+
+def test_landscape_rejected(rng):
+    blk = BlockDiagonal.from_dense_batch(rng.normal(size=(4, 2, 3)))
+    with pytest.raises(ValueError):
+        BlockDiagonalQR().compute(blk)
+
+
+def test_matrix_rhs(spj, rng):
+    blk = BlockDiagonal.from_block_diagonal_pattern(spj, 7, 2)
+    qr = BlockDiagonalQR(QFormat.FULL_Q).compute(blk)
+    M = rng.normal(size=(spj.nrows, 5))
+    Q = np.asarray(qr.matrix_q_dense())
+    assert np.allclose(np.asarray(qr.apply_qt(jnp.asarray(M))), Q.T @ M, atol=1e-9)
+    assert np.allclose(np.asarray(qr.apply_q(jnp.asarray(M))), Q @ M, atol=1e-9)
