@@ -1,0 +1,90 @@
+"""Banded-blocked QR tests — reproduce reference tests 1-3
+(/root/reference/test/test-qrkit.cpp:208-258): non-overlapping, overlapping and
+overlapping+row-permuted inputs, explicit Q materialization, LS round trips."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qrkit_tpu.solvers import BandedBlockedQR
+
+from generators import block_diagonal_matrix, overlapping_block_diagonal_matrix
+
+NUM_VARS = 64
+NUM_PARAMS = NUM_VARS * 2
+NUM_RESIDUALS = NUM_VARS * 7
+
+
+def _check_banded(spj, rng, suggested=8, atol=1e-8):
+    qr = BandedBlockedQR(suggested_block_cols=suggested).compute(spj)
+    dense = spj.to_dense()
+    pA = qr.rows_permutation().apply(dense)  # P_r * A
+    Q = np.asarray(qr.matrix_q_dense())
+    R = np.asarray(qr.matrix_r_dense())
+
+    assert np.allclose(Q @ R, pA, atol=atol), np.abs(Q @ R - pA).max()
+    assert np.allclose(Q.T @ Q, np.eye(Q.shape[0]), atol=atol)
+    assert np.allclose(np.asarray(qr.apply_qt(jnp.asarray(pA))), R, atol=atol)
+    # R globally upper triangular
+    assert np.allclose(np.tril(R, -1), 0.0, atol=1e-12)
+
+    # LS round trip (rows permutation pre-applied by caller, test-qrkit.cpp:235)
+    x_true = rng.normal(size=spj.ncols)
+    b = qr.rows_permutation().apply(dense @ x_true)
+    x = np.asarray(qr.solve(jnp.asarray(b)))
+    assert np.allclose(x, x_true, atol=1e-7), np.abs(x - x_true).max()
+    return qr
+
+
+def test_banded_nonoverlapping(rng):
+    spj = block_diagonal_matrix(NUM_PARAMS, NUM_RESIDUALS, rng, permute_rows=False)
+    _check_banded(spj, rng)
+
+
+def test_banded_overlapping(rng):
+    spj = overlapping_block_diagonal_matrix(
+        NUM_PARAMS, NUM_RESIDUALS, rng, permute_rows=False
+    )
+    _check_banded(spj, rng)
+
+
+def test_banded_overlapping_rowpermuted(rng):
+    spj = overlapping_block_diagonal_matrix(
+        NUM_PARAMS, NUM_RESIDUALS, rng, permute_rows=True
+    )
+    qr = _check_banded(spj, rng)
+    assert not qr.rows_permutation().is_identity()
+
+
+def test_banded_static_pattern(rng):
+    # known-structure fast path: 7x2 blocks, no overlap
+    spj = block_diagonal_matrix(NUM_PARAMS, NUM_RESIDUALS, rng, permute_rows=False)
+    qr = BandedBlockedQR(block_rows=7, block_cols=2, block_overlap=0).compute(spj)
+    dense = spj.to_dense()
+    Q = np.asarray(qr.matrix_q_dense())
+    R = np.asarray(qr.matrix_r_dense())
+    assert np.allclose(Q @ R, dense, atol=1e-8)
+    assert qr.rows_permutation().is_identity()
+
+
+def test_banded_refactorize_same_structure(rng):
+    # LM pattern: same structure, new values — analysis reused (compute twice)
+    spj1 = overlapping_block_diagonal_matrix(NUM_PARAMS, NUM_RESIDUALS, rng, False)
+    spj2 = overlapping_block_diagonal_matrix(NUM_PARAMS, NUM_RESIDUALS, rng, False)
+    qr = BandedBlockedQR(suggested_block_cols=8)
+    qr.compute(spj1)
+    plan1 = qr.plan
+    qr.compute(spj2)  # reuses analysis
+    assert qr.plan is plan1
+    dense2 = spj2.to_dense()
+    Q = np.asarray(qr.matrix_q_dense())
+    R = np.asarray(qr.matrix_r_dense())
+    assert np.allclose(Q @ R, dense2, atol=1e-8)
+
+
+def test_banded_matrix_rhs(rng):
+    spj = overlapping_block_diagonal_matrix(NUM_PARAMS, NUM_RESIDUALS, rng, False)
+    qr = BandedBlockedQR(suggested_block_cols=8).compute(spj)
+    M = jnp.asarray(rng.normal(size=(spj.nrows, 4)))
+    Q = np.asarray(qr.matrix_q_dense())
+    assert np.allclose(np.asarray(qr.apply_qt(M)), Q.T @ np.asarray(M), atol=1e-8)
+    assert np.allclose(np.asarray(qr.apply_q(M)), Q @ np.asarray(M), atol=1e-8)
