@@ -42,10 +42,10 @@ def column_density(mat: SparseCSR) -> Permutation:
     used by the thin sparse QR to push dense columns right.
     """
     counts = mat.col_nnz()
+    # Permutation semantics follow Eigen: ``A * P`` gathers columns, so
+    # new column i = old column indices[i] — indices is the argsort order.
     order = np.argsort(counts, kind="stable")  # order[newIdx] = origIdx
-    indices = np.empty(mat.ncols, dtype=np.int64)
-    indices[order] = np.arange(mat.ncols)  # indices[origIdx] = newIdx
-    return Permutation(indices)
+    return Permutation(order)
 
 
 def as_banded_as_possible(mat: SparseCSR) -> Tuple[Permutation, bool]:

@@ -1,6 +1,7 @@
 from .base import ComputationInfo, QRSolver
 from .block_diagonal import BlockDiagonalQR, QFormat
 from .banded_blocked import BandedBlockedQR
+from .blocked_thin import BlockedThinDenseQR, BlockedThinSparseQR
 
 __all__ = [
     "ComputationInfo",
@@ -8,4 +9,6 @@ __all__ = [
     "BlockDiagonalQR",
     "QFormat",
     "BandedBlockedQR",
+    "BlockedThinDenseQR",
+    "BlockedThinSparseQR",
 ]

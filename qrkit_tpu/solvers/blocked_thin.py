@@ -1,0 +1,234 @@
+"""Blocked thin QR — tall, mostly-dense matrices in fixed-width panels.
+
+TPU-native re-design of ``BlockedThinQRBase`` + ``BlockedThinDenseQR`` +
+``BlockedThinSparseQR`` (/root/reference/src/QRKit/BlockedThinQRBase.h,
+BlockedThinDenseQR.h, BlockedThinSparseQR.h).  Left-looking panel factorization:
+per panel a compact-WY QR, then ONE trailing-update matmul (the reference's
+``updateMat`` OpenMP-per-column loop, BlockedThinQRBase.h:308-319, becomes a
+single GEMM feeding the MXU).  Q is a :class:`CompactWYSeq` whose windows start
+at the panel's diagonal row.
+
+The sparse variant adds the reference's orderings (column-density column perm +
+as-banded-as-possible row perm, BlockedThinSparseQR.h:168-201), restricts each
+panel to its sparsity row extent (``updateBlockInfo``, :203-236) and pivots
+columns inside each panel (ColPivHouseholderQR analog), composing the pivots
+into the output column permutation (:150-159).
+"""
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..analysis import as_banded_as_possible, column_density
+from ..ops.compact_wy import CompactWYSeq
+from ..ops.householder import (
+    apply_wy,
+    build_t_factor,
+    colpiv_householder_qr,
+    panel_qr_yt,
+)
+from ..sparse import Permutation, SparseCSR
+from .base import ComputationInfo, QRSolver
+
+__all__ = ["BlockedThinDenseQR", "BlockedThinSparseQR"]
+
+
+def _panel_starts(n: int, c: int) -> List[int]:
+    return list(range(0, n, c))
+
+
+@functools.partial(jax.jit, static_argnames=("c",))
+def _thin_dense_factorize(A: jnp.ndarray, c: int):
+    """Panel loop over a dense [m, n]: returns (Y [nb,m,c], T [nb,c,c], R [m,n])."""
+    m, n = A.shape
+    dt = A.dtype
+    Ys, Ts = [], []
+    R = A
+    for p0 in _panel_starts(n, c):
+        pc = min(c, n - p0)
+        Y, T, Rp = panel_qr_yt(R[:, p0 : p0 + pc], offset=p0)
+        R = R.at[:, p0 : p0 + pc].set(Rp)
+        if p0 + pc < n:
+            R = R.at[:, p0 + pc :].set(
+                apply_wy(Y, T, R[:, p0 + pc :], transpose=True)
+            )
+        if pc < c:  # pad final narrow panel
+            Y = jnp.concatenate([Y, jnp.zeros((m, c - pc), dt)], axis=1)
+            T = jnp.pad(T, ((0, c - pc), (0, c - pc)))
+        Ys.append(Y)
+        Ts.append(T)
+    return jnp.stack(Ys), jnp.stack(Ts), jnp.triu(R)
+
+
+class BlockedThinDenseQR(QRSolver):
+    """Thin QR of a dense matrix, fixed-width panels, no permutations, not
+    rank-revealing (BlockedThinDenseQR.h:104-176)."""
+
+    def __init__(self, suggested_block_cols: int = 2):
+        self.c = suggested_block_cols
+
+    @property
+    def rows(self) -> int:
+        return self._m
+
+    @property
+    def cols(self) -> int:
+        return self._n
+
+    def compute(self, mat) -> "BlockedThinDenseQR":
+        if isinstance(mat, SparseCSR):
+            mat = jnp.asarray(mat.to_dense())
+        mat = jnp.asarray(mat)
+        self._m, self._n = map(int, mat.shape)
+        Y, T, R = _thin_dense_factorize(mat, self.c)
+        starts = np.asarray(_panel_starts(self._n, self.c), dtype=np.int32) * 0
+        # windows span full height (Y has zeros above the panel diagonal)
+        self.q_seq = CompactWYSeq(Y, T, jnp.asarray(starts), self._m)
+        self._R = R
+        self._info = ComputationInfo.SUCCESS
+        return self
+
+    def apply_q(self, m: jnp.ndarray) -> jnp.ndarray:
+        return self.q_seq.apply_q(m)
+
+    def apply_qt(self, m: jnp.ndarray) -> jnp.ndarray:
+        return self.q_seq.apply_qt(m)
+
+    def matrix_r_dense(self) -> jnp.ndarray:
+        return self._R
+
+    def solve_r(self, y: jnp.ndarray) -> jnp.ndarray:
+        return jax.lax.linalg.triangular_solve(
+            self._R[: self._n, : self._n], y[:, None], left_side=True, lower=False
+        )[:, 0]
+
+
+class BlockedThinSparseQR(QRSolver):
+    """Thin QR of a sparse (or dense) matrix with orderings and per-panel
+    column pivoting (BlockedThinSparseQR.h:105-283).
+
+    Panels are restricted to their sparsity row extent so factorization cost
+    tracks nnz structure, not the full height.  Assumes panels are full rank
+    (the reference's zero-pivot bookkeeping collapses to identity then);
+    ``rank()`` still reports a thresholded estimate from |diag(R)|.
+    """
+
+    def __init__(self, suggested_block_cols: int = 2):
+        self.c = suggested_block_cols
+
+    @property
+    def rows(self) -> int:
+        return self._m
+
+    @property
+    def cols(self) -> int:
+        return self._n
+
+    def _analyze(self, mat: SparseCSR):
+        col_perm = column_density(mat)
+        pmat = mat.permute_cols(col_perm)
+        row_perm, has_rp = as_banded_as_possible(pmat)
+        if has_rp:
+            pmat = pmat.permute_rows(row_perm)
+        return pmat, col_perm, row_perm
+
+    def _panel_heights(self, pmat: SparseCSR) -> List[int]:
+        """updateBlockInfo analog (BlockedThinSparseQR.h:203-236): per panel,
+        rows = max nnz row extent of the panel's columns; never shrink by more
+        than the panel width relative to the previous panel."""
+        m, n = pmat.shape
+        _, ends = pmat.row_ranges()
+        heights = []
+        prev_h = 0
+        col_max_row = np.zeros(n, dtype=np.int64)
+        # per-column last nonzero row
+        row_ids = np.repeat(np.arange(m), np.diff(pmat.indptr))
+        for c in range(n):
+            col_max_row[c] = -1
+        np.maximum.at(col_max_row, pmat.indices, row_ids)
+        for p0 in _panel_starts(n, self.c):
+            pc = min(self.c, n - p0)
+            if p0 + pc >= n:
+                h = m - p0
+            else:
+                biggest = int(col_max_row[p0 : p0 + pc].max())
+                h = biggest - p0 + 1
+                h = max(h, prev_h - pc)
+            h = max(h, pc)  # need at least pc rows for a full-rank panel
+            h = min(h, m - p0)
+            heights.append(h)
+            prev_h = h
+        return heights
+
+    def compute(self, mat: Union[SparseCSR, jnp.ndarray]) -> "BlockedThinSparseQR":
+        if not isinstance(mat, SparseCSR):
+            mat = SparseCSR.from_dense(np.asarray(mat))
+        self._m, self._n = mat.shape
+        pmat, self._col_perm, self._row_perm = self._analyze(mat)
+        heights = self._panel_heights(pmat)
+        working = jnp.asarray(pmat.to_dense())
+        dt = working.dtype
+        maxh = max(heights)
+        Ys, Ts, starts = [], [], []
+        house = np.arange(self._n, dtype=np.int64)
+        for (p0, h) in zip(_panel_starts(self._n, self.c), heights):
+            pc = min(self.c, self._n - p0)
+            sub = working[p0 : p0 + h, p0 : p0 + pc]
+            Y, taus, Rsub, lperm = colpiv_householder_qr(sub)
+            T = build_t_factor(Y, taus)
+            # physically reorder the panel's columns (incl. rows above diagonal,
+            # matching the R assembly of BlockedThinSparseQR.h:271-279)
+            working = working.at[:, p0 : p0 + pc].set(working[:, p0 + lperm])
+            house[p0 : p0 + pc] = house[p0 + np.asarray(lperm)]
+            working = working.at[p0 : p0 + h, p0 : p0 + pc].set(jnp.triu(Rsub))
+            if p0 + pc < self._n:
+                working = working.at[p0 : p0 + h, p0 + pc :].set(
+                    apply_wy(Y, T, working[p0 : p0 + h, p0 + pc :], transpose=True)
+                )
+            Yp = jnp.zeros((maxh, self.c), dt).at[:h, :pc].set(Y)
+            Tp = jnp.zeros((self.c, self.c), dt).at[:pc, :pc].set(T)
+            Ys.append(Yp)
+            Ts.append(Tp)
+            starts.append(p0)
+        self.q_seq = CompactWYSeq(
+            jnp.stack(Ys), jnp.stack(Ts), jnp.asarray(starts, dtype=jnp.int32), self._m
+        )
+        self._R = jnp.triu(working)
+        # combined column permutation: density ordering then in-panel pivots
+        # (m_outputPerm_c * m_houseColPerm, BlockedThinSparseQR.h:159)
+        sigma1 = self._col_perm.indices
+        self._out_col_perm = Permutation(sigma1[house])
+        self._info = ComputationInfo.SUCCESS
+        return self
+
+    def apply_q(self, m: jnp.ndarray) -> jnp.ndarray:
+        return self.q_seq.apply_q(m)
+
+    def apply_qt(self, m: jnp.ndarray) -> jnp.ndarray:
+        return self.q_seq.apply_qt(m)
+
+    def matrix_r_dense(self) -> jnp.ndarray:
+        return self._R
+
+    def solve_r(self, y: jnp.ndarray) -> jnp.ndarray:
+        return jax.lax.linalg.triangular_solve(
+            self._R[: self._n, : self._n], y[:, None], left_side=True, lower=False
+        )[:, 0]
+
+    def cols_permutation(self) -> Permutation:
+        return self._out_col_perm
+
+    def rows_permutation(self) -> Permutation:
+        return self._row_perm
+
+    @property
+    def rank(self) -> int:
+        d = np.abs(np.diag(np.asarray(self._R)[: self._n, : self._n]))
+        if d.size == 0:
+            return 0
+        tol = d.max() * max(self._m, self._n) * np.finfo(d.dtype).eps
+        return int((d > tol).sum())

@@ -99,6 +99,16 @@ def test_column_density(rng):
     # stability: equal counts keep original order
     assert list(perm.indices) == [3, 1, 2, 0]
 
+    # non-involution case pins gather semantics: counts [5, 1, 2]
+    d2 = np.zeros((5, 3))
+    d2[:5, 0] = 1.0
+    d2[0, 1] = 1.0
+    d2[:2, 2] = 1.0
+    m2 = SparseCSR.from_dense(d2)
+    p2 = column_density(m2)
+    nnz2 = (m2.permute_cols(p2).to_dense() != 0).sum(axis=0)
+    assert list(nnz2) == [1, 2, 5]
+
 
 def test_from_block_diagonal_pattern():
     plan = from_block_diagonal_pattern(21, 6, 7, 2)
