@@ -2,6 +2,8 @@ from .base import ComputationInfo, QRSolver
 from .block_diagonal import BlockDiagonalQR, QFormat
 from .banded_blocked import BandedBlockedQR
 from .blocked_thin import BlockedThinDenseQR, BlockedThinSparseQR
+from .block_angular import BlockAngularQR
+from .dense import DenseColPivQR, DenseHouseholderQR
 
 __all__ = [
     "ComputationInfo",
@@ -11,4 +13,7 @@ __all__ = [
     "BandedBlockedQR",
     "BlockedThinDenseQR",
     "BlockedThinSparseQR",
+    "BlockAngularQR",
+    "DenseColPivQR",
+    "DenseHouseholderQR",
 ]

@@ -1,0 +1,102 @@
+"""Plain dense QR solvers implementing the QRSolver protocol.
+
+Analogs of the raw Eigen dense solvers the reference plugs into its composite
+solvers (``HouseholderQR`` / ``ColPivHouseholderQR``,
+/root/reference/test/test-qrkit.cpp:33-50, examples/ellipse_fitting.cpp:35):
+a single compact-WY block over the whole matrix.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.householder import (
+    apply_wy,
+    build_t_factor,
+    colpiv_householder_qr,
+    panel_qr_yt,
+)
+from ..sparse import Permutation, SparseCSR
+from .base import ComputationInfo, QRSolver
+
+__all__ = ["DenseHouseholderQR", "DenseColPivQR"]
+
+
+@functools.partial(jax.jit, static_argnames=("panel_width",))
+def _dense_qr(a, panel_width=16):
+    return panel_qr_yt(a, panel_width=panel_width)
+
+
+@jax.jit
+def _dense_colpiv_qr(a):
+    Y, taus, R, perm = colpiv_householder_qr(a)
+    return Y, build_t_factor(Y, taus), R, perm
+
+
+class _DenseQRBase(QRSolver):
+    @property
+    def rows(self) -> int:
+        return self._m
+
+    @property
+    def cols(self) -> int:
+        return self._n
+
+    def apply_q(self, m: jnp.ndarray) -> jnp.ndarray:
+        return apply_wy(self._Y, self._T, m)
+
+    def apply_qt(self, m: jnp.ndarray) -> jnp.ndarray:
+        return apply_wy(self._Y, self._T, m, transpose=True)
+
+    def matrix_r_dense(self) -> jnp.ndarray:
+        return self._R
+
+    def solve_r(self, y: jnp.ndarray) -> jnp.ndarray:
+        return jax.lax.linalg.triangular_solve(
+            self._R[: self._n, : self._n], y[:, None], left_side=True, lower=False
+        )[:, 0]
+
+    @staticmethod
+    def _coerce(mat):
+        if isinstance(mat, SparseCSR):
+            return jnp.asarray(mat.to_dense())
+        return jnp.asarray(mat)
+
+
+class DenseHouseholderQR(_DenseQRBase):
+    """Blocked dense Householder QR (Eigen::HouseholderQR analog)."""
+
+    def compute(self, mat) -> "DenseHouseholderQR":
+        a = self._coerce(mat)
+        self._m, self._n = map(int, a.shape)
+        self._Y, self._T, R = _dense_qr(a)
+        self._R = jnp.triu(R)
+        self._info = ComputationInfo.SUCCESS
+        return self
+
+
+class DenseColPivQR(_DenseQRBase):
+    """Column-pivoted dense QR (Eigen::ColPivHouseholderQR analog)."""
+
+    def compute(self, mat) -> "DenseColPivQR":
+        a = self._coerce(mat)
+        self._m, self._n = map(int, a.shape)
+        self._Y, self._T, R, perm = _dense_colpiv_qr(a)
+        self._R = jnp.triu(R)
+        self._perm = Permutation(np.asarray(perm, dtype=np.int64))
+        self._info = ComputationInfo.SUCCESS
+        return self
+
+    def cols_permutation(self) -> Permutation:
+        return self._perm
+
+    @property
+    def rank(self) -> int:
+        d = np.abs(np.diag(np.asarray(self._R)[: self._n, : self._n]))
+        if d.size == 0:
+            return 0
+        tol = d.max() * max(self._m, self._n) * np.finfo(d.dtype).eps
+        return int((d > tol).sum())
