@@ -1,0 +1,48 @@
+"""End-to-end LM ellipse fitting — the reference example as a test
+(/root/reference/examples/ellipse_fitting.cpp:306-334)."""
+import numpy as np
+import pytest
+
+from qrkit_tpu.examples.ellipse import (
+    Ellipse,
+    EllipseFitting,
+    ellipse_points,
+    fit_ellipse,
+)
+from qrkit_tpu.lm import LMConfig
+
+
+def test_ellipse_fit_small():
+    el = Ellipse(7.5, 2.0, 17.0, 23.0, 0.23)
+    pts = ellipse_points(el, 200)
+    result, params = fit_ellipse(pts)
+    n = pts.shape[1]
+    assert result.cost < 1e-12, result.cost
+    assert abs(params[n] - el.a) < 1e-6
+    assert abs(params[n + 1] - el.b) < 1e-6
+    assert abs(params[n + 2] - el.x0) < 1e-6
+    assert abs(params[n + 3] - el.y0) < 1e-6
+    assert abs(params[n + 4] - el.r) < 1e-6
+
+
+def test_ellipse_fit_noisy(rng):
+    el = Ellipse(5.0, 3.0, -2.0, 4.0, 0.7)
+    pts = ellipse_points(el, 300) + rng.normal(scale=1e-3, size=(2, 300))
+    result, params = fit_ellipse(pts)
+    n = pts.shape[1]
+    assert result.cost < 1e-3
+    assert abs(params[n] - el.a) < 1e-2
+    assert abs(params[n + 1] - el.b) < 1e-2
+
+
+def test_damped_step_decreases_cost():
+    el = Ellipse()
+    pts = ellipse_points(el, 100)
+    functor = EllipseFitting(pts)
+    x0 = functor.initial_params()
+    r0 = functor.residuals(x0)
+    c0 = float(0.5 * np.vdot(r0, r0))
+    delta = functor.damped_step(x0, r0, 1e-3)
+    r1 = functor.residuals(x0 + delta)
+    c1 = float(0.5 * np.vdot(r1, r1))
+    assert c1 < c0
