@@ -1,0 +1,133 @@
+"""Pure-functional fused pipelines — fully jittable end-to-end steps.
+
+The class-based solvers (qrkit_tpu.solvers) orchestrate jitted kernels from the
+host, mirroring the reference's object API.  For production serving/benchmarks
+the whole factorize+solve pipeline should be ONE compiled program; this module
+provides those fused entry points.  They are also the units the multi-chip
+dry-run jits over a Mesh: the block axis is the data-parallel axis, and the
+TSQR second stage is the only cross-chip reduction (SURVEY §2.3, §5.8).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .ops.householder import (
+    build_t_factor,
+    highest_precision,
+    colpiv_householder_qr,
+    form_q,
+    panel_qr_yt,
+)
+from .parallel.tsqr import tsqr_apply, tsqr_factorize
+
+__all__ = [
+    "block_diagonal_factorize",
+    "block_diagonal_lstsq",
+    "block_angular_lstsq",
+]
+
+
+def _blockdiag_qr(blocks, pivot: bool):
+    bc = blocks.shape[2]
+    if pivot:
+        def one(a):
+            Y, taus, Ared, perm = colpiv_householder_qr(a)
+            return form_q(Y, build_t_factor(Y, taus)), jnp.triu(Ared[:bc]), perm
+    else:
+        def one(a):
+            Y, T, Ared = panel_qr_yt(a)
+            return form_q(Y, T), jnp.triu(Ared[:bc]), jnp.arange(bc)
+    return jax.vmap(one)(blocks)
+
+
+@functools.partial(jax.jit, static_argnames=("pivot",))
+@highest_precision
+def block_diagonal_factorize(blocks: jnp.ndarray, pivot: bool = False):
+    """Batched QR of a [nb, br, bc] block-diagonal batch → (Q, R, perm)."""
+    return _blockdiag_qr(blocks, pivot)
+
+
+@functools.partial(jax.jit, static_argnames=("pivot",))
+@highest_precision
+def block_diagonal_lstsq(blocks: jnp.ndarray, b: jnp.ndarray, pivot: bool = False):
+    """Fused factorize + least-squares solve for a block-diagonal system.
+
+    The flagship pipeline (BASELINE.json config 2): one compiled program doing
+    batched compact-WY QR, batched Qᵀb, batched triangular solve, and the
+    pivot back-permutation.  ``b`` is [nb*br] (+ ignored tail rows allowed).
+    """
+    nb, br, bc = blocks.shape
+    Q, R, lperm = _blockdiag_qr(blocks, pivot)
+    bb = b[: nb * br].reshape(nb, br)
+    y = jnp.einsum("bij,bi->bj", Q, bb)[:, :bc]
+    x = jax.lax.linalg.triangular_solve(R, y[..., None], left_side=True, lower=False)[
+        ..., 0
+    ]
+    if pivot:
+        x = jax.vmap(lambda xb, p: jnp.zeros_like(xb).at[p].set(xb))(x, lperm)
+    return x.reshape(nb * bc)
+
+
+@functools.partial(jax.jit, static_argnames=("n_shards", "tail"))
+@highest_precision
+def block_angular_lstsq(
+    left_blocks: jnp.ndarray,  # [nb, br, bc] block-diagonal A1 body
+    right: jnp.ndarray,  # [nb*br + tail, m2] dense A2 (tail rows below the blocks)
+    b: jnp.ndarray,  # [nb*br + tail]
+    n_shards: int = 1,
+    tail: int = 0,
+):
+    """Fused block-angular LS solve: vmapped left QR + TSQR right + block
+    back-substitution — the whole damped-LM step as one compiled program.
+
+    Sharding story: shard ``left_blocks`` (and the corresponding row-batches of
+    ``right``/``b``) over the mesh's data-parallel axis; the only collective is
+    the all-gather inside the TSQR second stage.
+    """
+    nb, br, bc = left_blocks.shape
+    m1 = nb * bc
+    m2 = right.shape[1]
+
+    # left: batched compact-WY QR, Q kept implicit as (Y, T)
+    Y1, T1, R1 = jax.vmap(lambda a: panel_qr_yt(a))(left_blocks)
+    R1 = jnp.triu(R1)[:, :bc]
+
+    # Q1ᵀ applied to [right | b] in one pass
+    rb = jnp.concatenate([right, b[:, None]], axis=1)  # [nb*br + tail, m2+1]
+    body = rb[: nb * br].reshape(nb, br, m2 + 1)
+    qt_body = body + jnp.einsum(
+        "bij,bjk->bik", Y1, jnp.einsum("bji,bjk->bik", T1, jnp.einsum("bji,bjk->bik", Y1, body))
+    )
+    econ = qt_body[:, :bc].reshape(nb * bc, m2 + 1)
+    compl = qt_body[:, bc:].reshape(nb * (br - bc), m2 + 1)
+    bottom = jnp.concatenate([compl, rb[nb * br :]], axis=0)  # [nb*(br-bc)+tail, m2+1]
+
+    r12 = econ[:, :m2]  # J2top
+    y1 = econ[:, m2]
+
+    # right: TSQR on the bottom rows of J2
+    j2bot = bottom[:, :m2]
+    y_bot = bottom[:, m2]
+    mbot = j2bot.shape[0]
+    mloc = max(-(-mbot // n_shards), m2)
+    mpad = mloc * n_shards
+    j2bot = jnp.concatenate(
+        [j2bot, jnp.zeros((mpad - mbot, m2), j2bot.dtype)], axis=0
+    )
+    y_bot = jnp.concatenate([y_bot, jnp.zeros((mpad - mbot,), y_bot.dtype)])
+    Yl, Tl, Y2, T2, R2 = tsqr_factorize(j2bot, n_shards)
+    z = tsqr_apply(Yl, Tl, Y2, T2, y_bot, n_shards, True)
+    y2 = z[:m2]
+
+    # back substitution: x2 then structured x1
+    x2 = jax.lax.linalg.triangular_solve(R2, y2[:, None], left_side=True, lower=False)[
+        :, 0
+    ]
+    rhs1 = (y1 - r12 @ x2).reshape(nb, bc, 1)
+    x1 = jax.lax.linalg.triangular_solve(R1, rhs1, left_side=True, lower=False).reshape(
+        nb * bc
+    )
+    return jnp.concatenate([x1, x2])

@@ -23,6 +23,8 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from .householder import highest_precision
+
 __all__ = ["CompactWYSeq"]
 
 
@@ -56,6 +58,7 @@ class CompactWYSeq:
     def window(self) -> int:
         return self.Y.shape[1]
 
+    @highest_precision
     def _apply(self, M: jnp.ndarray, transpose: bool) -> jnp.ndarray:
         vec = M.ndim == 1
         if vec:

@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 __all__ = [
+    "highest_precision",
     "householder_qr_unblocked",
     "build_t_factor",
     "panel_qr_yt",
@@ -33,6 +34,24 @@ __all__ = [
     "form_q",
     "batched_panel_qr_yt",
 ]
+
+
+def highest_precision(fn):
+    """Trace ``fn`` with full-precision matmuls.
+
+    On TPU, fp32 ``jnp.dot``/``@`` defaults to bf16 MXU passes — fine for neural
+    nets, wrong for a QR factorization (orthogonality degrades to ~1e-3).  Every
+    kernel entry point in this library is wrapped so its matmuls request
+    HIGHEST precision; the blocks are small and latency/bandwidth-bound, so the
+    extra MXU passes are free.
+    """
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("highest"):
+            return fn(*args, **kwargs)
+
+    return wrapped
 
 
 def _householder_column(A: jnp.ndarray, j: int, offset: int):
@@ -66,6 +85,7 @@ def _householder_column(A: jnp.ndarray, j: int, offset: int):
     return A, v, tau
 
 
+@highest_precision
 def householder_qr_unblocked(
     A: jnp.ndarray, offset: int = 0
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -86,6 +106,7 @@ def householder_qr_unblocked(
     return Y, tau_vec, A
 
 
+@highest_precision
 def build_t_factor(Y: jnp.ndarray, taus: jnp.ndarray) -> jnp.ndarray:
     """Compact-WY triangular factor with the reference's sign convention.
 
@@ -114,6 +135,7 @@ def _combine_t(T1, T2, Y1, Y2):
     return jnp.concatenate([top, bot], axis=0)
 
 
+@highest_precision
 def panel_qr_yt(
     A: jnp.ndarray, offset: int = 0, panel_width: int = 16
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -139,6 +161,7 @@ def panel_qr_yt(
     return Y, T, R
 
 
+@highest_precision
 def colpiv_householder_qr(
     A: jnp.ndarray,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -175,6 +198,7 @@ def colpiv_householder_qr(
     return Y, tau_vec, A, perm
 
 
+@highest_precision
 def apply_wy(
     Y: jnp.ndarray, T: jnp.ndarray, M: jnp.ndarray, transpose: bool = False
 ) -> jnp.ndarray:
@@ -183,6 +207,7 @@ def apply_wy(
     return M + Y @ (Tt @ (Y.T @ M))
 
 
+@highest_precision
 def form_q(Y: jnp.ndarray, T: jnp.ndarray) -> jnp.ndarray:
     """Explicit dense Q = I + Y T Yᵀ  [m, m]."""
     m = Y.shape[0]

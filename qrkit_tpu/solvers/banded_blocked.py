@@ -26,7 +26,7 @@ import numpy as np
 
 from ..analysis import as_banded_as_possible, block_banded_info, from_block_banded_pattern
 from ..ops.compact_wy import CompactWYSeq
-from ..ops.householder import panel_qr_yt
+from ..ops.householder import highest_precision, panel_qr_yt
 from ..plan import StructurePlan
 from ..sparse import Permutation, SparseCSR
 from .base import ComputationInfo, QRSolver
@@ -77,6 +77,7 @@ def banded_geometry(plan: StructurePlan):
     jax.jit,
     static_argnames=("max_active", "max_cols", "max_carry", "max_zeros", "max_emit", "m"),
 )
+@highest_precision
 def banded_factorize(
     panels: jnp.ndarray,  # [nb, mR, max_cols] dense blocks of the permuted matrix
     geom: dict,  # int32 arrays [nb]: carry_rows, col_inc, num_zeros, ncols, nrows, cols
@@ -150,6 +151,7 @@ def banded_factorize(
 
 
 @functools.partial(jax.jit, static_argnames=("max_emit", "max_cols", "n"))
+@highest_precision
 def banded_solve_r(
     r_panels: jnp.ndarray,  # [nb, max_emit, max_cols]
     cols: jnp.ndarray,  # [nb] block col offsets

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..containers import BlockMatrix1x2
+from ..ops.householder import highest_precision
 from ..sparse import Permutation, SparseCSR
 from .base import ComputationInfo, QRSolver
 
@@ -136,6 +137,7 @@ class BlockAngularQR(QRSolver):
         R[m1 : m1 + m2, m1:] = r2[:m2, :m2]
         return jnp.asarray(R)
 
+    @highest_precision
     def solve_r(self, y: jnp.ndarray) -> jnp.ndarray:
         """Block back-substitution: x2 from R2, then x1 from the structured R1."""
         m1, m2 = self._m1, self._m2

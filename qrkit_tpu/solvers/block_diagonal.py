@@ -29,6 +29,7 @@ import numpy as np
 from ..containers import BlockDiagonal
 from ..ops.householder import (
     build_t_factor,
+    highest_precision,
     colpiv_householder_qr,
     form_q,
     panel_qr_yt,
@@ -45,6 +46,7 @@ class QFormat(enum.Enum):
 
 
 @functools.partial(jax.jit, static_argnames=("pivot",))
+@highest_precision
 def _factorize_blocks(blocks: jnp.ndarray, pivot: bool = True):
     """Batched per-block QR: returns (Q [nb,br,br], R [nb,bc,bc], perm [nb,bc])."""
     bc = blocks.shape[2]
@@ -122,6 +124,7 @@ class BlockDiagonalQR(QRSolver):
         comp = (self._ncols + np.arange(nb)[:, None] * comp_w + np.arange(comp_w)).reshape(-1)
         return jnp.asarray(econ, dtype), jnp.asarray(comp, dtype)
 
+    @highest_precision
     def apply_qt(self, m: jnp.ndarray) -> jnp.ndarray:
         vec = m.ndim == 1
         m2 = m[:, None] if vec else m
@@ -140,6 +143,7 @@ class BlockDiagonalQR(QRSolver):
             out = out.at[nb * br :].set(m2[nb * br :])
         return out[:, 0] if vec else out
 
+    @highest_precision
     def apply_q(self, m: jnp.ndarray) -> jnp.ndarray:
         vec = m.ndim == 1
         m2 = m[:, None] if vec else m
