@@ -23,6 +23,7 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
+from . import _native
 from .plan import BlockInfo, StructurePlan
 from .sparse import Permutation, SparseCSR
 
@@ -54,6 +55,9 @@ def as_banded_as_possible(mat: SparseCSR) -> Tuple[Permutation, bool]:
     Returns (P, has_permutation); ``mat.permute_rows(P)`` is as-banded-as-possible.
     """
     starts, _ = mat.row_ranges()
+    if _native.available():
+        indices, has_perm = _native.abap_order(np.ascontiguousarray(starts))
+        return Permutation(indices), has_perm
     has_perm = bool(np.any(np.diff(starts) < 0))
     order = np.argsort(starts, kind="stable")  # order[newIdx] = origIdx
     indices = np.empty(mat.nrows, dtype=np.int64)
@@ -126,6 +130,14 @@ def block_banded_info(mat: SparseCSR, suggested_block_cols: int = 2) -> Structur
     """
     starts, ends = mat.row_ranges()
     ncols = mat.ncols
+
+    if _native.available():
+        blocks_arr, nnz_q = _native.block_detect(
+            mat.nrows, ncols, np.ascontiguousarray(starts),
+            np.ascontiguousarray(ends), suggested_block_cols,
+        )
+        blocks = tuple(BlockInfo(*map(int, b)) for b in blocks_arr)
+        return StructurePlan(mat.nrows, mat.ncols, blocks, nnz_q)
 
     # max band width / row count per distinct start column
     valid = starts < ncols  # empty rows (start == ncols) form zero blocks: ignored

@@ -19,6 +19,8 @@ from typing import Iterable, Tuple
 
 import numpy as np
 
+from . import _native
+
 __all__ = ["Permutation", "SparseCSR", "coo_to_csr"]
 
 
@@ -154,6 +156,8 @@ class SparseCSR:
         return np.diff(self.indptr)
 
     def col_nnz(self) -> np.ndarray:
+        if _native.available():
+            return _native.col_nnz(self.indices, self.ncols)
         counts = np.zeros(self.ncols, dtype=np.int64)
         np.add.at(counts, self.indices, 1)
         return counts
@@ -165,6 +169,8 @@ class SparseCSR:
         reference treating empty rows as out-of-band,
         SparseQRUtils.h BlockBandedMatrixInfo::operator()).
         """
+        if _native.available():
+            return _native.row_ranges(self.nrows, self.ncols, self.indptr, self.indices)
         starts = np.full(self.nrows, self.ncols, dtype=np.int64)
         ends = np.full(self.nrows, self.ncols, dtype=np.int64)
         counts = np.diff(self.indptr)
@@ -177,6 +183,11 @@ class SparseCSR:
     def permute_rows(self, perm: Permutation) -> "SparseCSR":
         """P * A — row src goes to row perm.indices[src]."""
         src_of_dest = perm.gather_indices()
+        if _native.available() and self.data.dtype == np.float64:
+            ip, ix, d = _native.permute_rows_csr(
+                self.nrows, self.indptr, self.indices, self.data, src_of_dest
+            )
+            return SparseCSR(self.shape, ip, ix, d)
         counts = np.diff(self.indptr)[src_of_dest]
         new_indptr = np.zeros(self.nrows + 1, dtype=np.int64)
         new_indptr[1:] = np.cumsum(counts)
@@ -211,6 +222,13 @@ class SparseCSR:
         """Stacked dense panels [nb, pad_rows, pad_cols] for a list of BlockInfo-like
         tuples (row, col, nrows, ncols); panels zero-padded to uniform shape."""
         nb = len(blocks)
+        if _native.available() and nb and (self.nnz == 0 or self.data.dtype == np.float64):
+            return _native.extract_panels(
+                self.nrows, self.ncols, self.indptr, self.indices,
+                self.data.astype(np.float64, copy=False),
+                np.asarray([tuple(b) for b in blocks], dtype=np.int64),
+                pad_rows, pad_cols,
+            )
         out = np.zeros((nb, pad_rows, pad_cols), dtype=self.data.dtype if self.nnz else np.float64)
         for k, (r0, c0, nr, nc) in enumerate(blocks):
             out[k, :nr, :nc] = self.block_dense(r0, c0, nr, nc)
