@@ -28,6 +28,22 @@ from .analysis import (
     from_block_banded_pattern,
     from_block_diagonal_pattern,
 )
+from .containers import BlockDiagonal, BlockMatrix1x2
+from .solvers import (
+    BandedBlockedQR,
+    BlockAngularQR,
+    BlockDiagonalQR,
+    BlockedThinDenseQR,
+    BlockedThinSparseQR,
+    ComputationInfo,
+    DenseColPivQR,
+    DenseHouseholderQR,
+    QFormat,
+    QRSolver,
+)
+from .lm import LMConfig, LMResult, levenberg_marquardt
+from .persist import load_analysis, plan_from_json, plan_to_json, save_analysis
+from .profiling import Timer, timed, trace
 
 __version__ = "0.1.0"
 
@@ -41,4 +57,26 @@ __all__ = [
     "column_density",
     "from_block_banded_pattern",
     "from_block_diagonal_pattern",
+    "BlockDiagonal",
+    "BlockMatrix1x2",
+    "BandedBlockedQR",
+    "BlockAngularQR",
+    "BlockDiagonalQR",
+    "BlockedThinDenseQR",
+    "BlockedThinSparseQR",
+    "ComputationInfo",
+    "DenseColPivQR",
+    "DenseHouseholderQR",
+    "QFormat",
+    "QRSolver",
+    "LMConfig",
+    "LMResult",
+    "levenberg_marquardt",
+    "load_analysis",
+    "plan_from_json",
+    "plan_to_json",
+    "save_analysis",
+    "Timer",
+    "timed",
+    "trace",
 ]

@@ -120,12 +120,19 @@ def _damped_system(left, right, res, lam):
 
 
 class EllipseFitting:
-    """LM functor bundle: residuals + damped structured step via block-angular QR."""
+    """LM functor bundle: residuals + damped structured step via block-angular QR.
 
-    def __init__(self, pts: np.ndarray, dtype=jnp.float64):
+    ``fused=True`` (default) runs the damped step as one compiled program
+    (:func:`qrkit_tpu.functional.block_angular_lstsq`); ``fused=False`` drives
+    the class-based solver composition — same math, same factors, used to
+    cross-check the two paths.
+    """
+
+    def __init__(self, pts: np.ndarray, dtype=jnp.float64, fused: bool = True):
         self.pts = jnp.asarray(pts, dtype=dtype)
         self.n = int(pts.shape[1])
         self.dtype = dtype
+        self.fused = fused
 
     def residuals(self, params: jnp.ndarray) -> jnp.ndarray:
         return _residuals(params, self.pts)
@@ -136,6 +143,10 @@ class EllipseFitting:
             left, right, res, jnp.asarray(lam, self.dtype)
         )
         n = self.n
+        if self.fused:
+            from ..functional import block_angular_lstsq
+
+            return block_angular_lstsq(left_d, right_d, rhs, n_shards=1, tail=5)
         blk = BlockDiagonal(left_d, 3 * n + 5, n)
         solver = BlockAngularQR(
             BlockDiagonalQR(QFormat.FULL_Q, pivot=False), DenseColPivQR()
@@ -178,9 +189,10 @@ def fit_ellipse(
     pts: np.ndarray,
     config: Optional[LMConfig] = None,
     dtype=jnp.float64,
+    fused: bool = True,
 ) -> Tuple[LMResult, np.ndarray]:
     """End-to-end LM ellipse fit; returns (LMResult, canonicalized params)."""
-    functor = EllipseFitting(pts, dtype=dtype)
+    functor = EllipseFitting(pts, dtype=dtype, fused=fused)
     result = levenberg_marquardt(
         functor.residuals,
         functor.damped_step,

@@ -56,13 +56,26 @@ def block_diagonal_lstsq(blocks: jnp.ndarray, b: jnp.ndarray, pivot: bool = Fals
     """Fused factorize + least-squares solve for a block-diagonal system.
 
     The flagship pipeline (BASELINE.json config 2): one compiled program doing
-    batched compact-WY QR, batched Qᵀb, batched triangular solve, and the
-    pivot back-permutation.  ``b`` is [nb*br] (+ ignored tail rows allowed).
+    batched compact-WY QR, batched Qᵀb (applied through the implicit Y/T
+    factors — the [nb, br, br] explicit Q is never materialized, saving
+    ~br/bc × the HBM traffic), batched triangular solve, and the pivot
+    back-permutation.  ``b`` is [nb*br] (+ ignored tail rows allowed).
     """
     nb, br, bc = blocks.shape
-    Q, R, lperm = _blockdiag_qr(blocks, pivot)
-    bb = b[: nb * br].reshape(nb, br)
-    y = jnp.einsum("bij,bi->bj", Q, bb)[:, :bc]
+    bb = b[: nb * br].reshape(nb, br, 1)
+    if pivot:
+        def one(a, v):
+            Y, taus, Ared, perm = colpiv_householder_qr(a)
+            T = build_t_factor(Y, taus)
+            qtb = v + Y @ (T.T @ (Y.T @ v))
+            return jnp.triu(Ared[:bc]), qtb[:bc, 0], perm
+        R, y, lperm = jax.vmap(one)(blocks, bb)
+    else:
+        def one(a, v):
+            Y, T, Ared = panel_qr_yt(a)
+            qtb = v + Y @ (T.T @ (Y.T @ v))
+            return jnp.triu(Ared[:bc]), qtb[:bc, 0], jnp.arange(bc)
+        R, y, lperm = jax.vmap(one)(blocks, bb)
     x = jax.lax.linalg.triangular_solve(R, y[..., None], left_side=True, lower=False)[
         ..., 0
     ]

@@ -1,0 +1,188 @@
+"""Fused Pallas kernel: batched tiny-block QR + least-squares solve.
+
+The flagship workload (BASELINE.json configs 1-2) is millions of tiny dense
+blocks (2x1, 7x2).  The XLA path (vmapped compact-WY) is correct but pays for
+multiple fused-loop passes over HBM; this kernel is the speed-of-light tier:
+
+* **Lane-batched layout**: the block batch is transposed to structure-of-arrays
+  ``[br*bc, nb]`` so each TPU lane owns one block.  Every per-block scalar of
+  the Householder recurrence becomes a ``[1, TILE]`` vector op on the VPU —
+  8×128-wide arithmetic with zero cross-lane communication.
+* **Full fusion**: QR factorization, Qᵀb and the back-substitution run in one
+  kernel; HBM traffic is exactly (inputs + x), nothing else is materialized.
+* The grid walks lane-tiles of the batch; the unrolled recurrence is
+  O(br·bc²) vector ops per tile.
+
+This replaces the reference's per-block ``ColPivHouseholderQR`` loop
+(/root/reference/src/QRKit/BlockDiagonalSparseQR.h:432-526) — the "native
+kernel" tier of the framework (the reference's native tier is C++/Eigen).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["pallas_block_diagonal_lstsq", "pallas_block_diagonal_qr_r"]
+
+_TILE = 512  # lanes per grid step (multiple of 128)
+
+
+def _lstsq_kernel(br: int, bc: int):
+    """Generate the fused QR+solve kernel for static block shape (br, bc)."""
+
+    def kernel(a_ref, b_ref, x_ref):
+        dt = a_ref.dtype
+        # load SoA tiles: a[r][c] and rhs[r] are [1, TILE] rows
+        a = [[a_ref[r * bc + c : r * bc + c + 1, :] for c in range(bc)] for r in range(br)]
+        rhs = [b_ref[r : r + 1, :] for r in range(br)]
+        one = jnp.ones_like(a[0][0])
+        zero = jnp.zeros_like(a[0][0])
+
+        # Householder QR, unrolled; every quantity is a lane vector
+        for j in range(bc):
+            x0 = a[j][j]
+            sigma = zero
+            for r in range(j + 1, br):
+                sigma = sigma + a[r][j] * a[r][j]
+            norm = jnp.sqrt(x0 * x0 + sigma)
+            beta = jnp.where(x0 >= 0, -norm, norm)
+            degen = sigma <= 0
+            denom = jnp.where(degen, one, x0 - beta)
+            safe_beta = jnp.where(norm == 0, one, beta)
+            tau = jnp.where(degen, zero, (beta - x0) / safe_beta)
+            v = [zero] * br
+            v[j] = one
+            for r in range(j + 1, br):
+                v[r] = a[r][j] / denom
+            # apply H = I - tau v vᵀ to trailing columns and rhs
+            for c in range(j, bc):
+                w = zero
+                for r in range(j, br):
+                    w = w + v[r] * a[r][c]
+                w = tau * w
+                for r in range(j, br):
+                    a[r][c] = a[r][c] - v[r] * w
+            w = zero
+            for r in range(j, br):
+                w = w + v[r] * rhs[r]
+            w = tau * w
+            for r in range(j, br):
+                rhs[r] = rhs[r] - v[r] * w
+
+        # back substitution on the bc x bc upper-triangular R
+        x = [zero] * bc
+        for j in range(bc - 1, -1, -1):
+            acc = rhs[j]
+            for c in range(j + 1, bc):
+                acc = acc - a[j][c] * x[c]
+            x[j] = acc / a[j][j]
+        for j in range(bc):
+            x_ref[j : j + 1, :] = x[j]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pallas_block_diagonal_lstsq(
+    blocks: jnp.ndarray, b: jnp.ndarray, interpret: bool = False
+) -> jnp.ndarray:
+    """Fused lane-batched QR + LS solve of a [nb, br, bc] block-diagonal system.
+
+    Equivalent to :func:`qrkit_tpu.functional.block_diagonal_lstsq` (pivot=False)
+    — returns x [nb*bc] minimizing ||A x - b|| blockwise.
+    """
+    nb, br, bc = blocks.shape
+    dt = blocks.dtype
+    nbp = -(-nb // _TILE) * _TILE
+    # SoA layout: [br*bc, nb] and [br, nb]
+    a_soa = jnp.transpose(blocks, (1, 2, 0)).reshape(br * bc, nb)
+    b_soa = jnp.transpose(b[: nb * br].reshape(nb, br), (1, 0))
+    if nbp != nb:
+        # pad lanes with identity-ish blocks (diag 1) to avoid 0/0
+        pad_a = jnp.zeros((br * bc, nbp - nb), dt)
+        eye_rows = jnp.asarray([j * bc + j for j in range(bc)])
+        pad_a = pad_a.at[eye_rows].set(1.0)
+        a_soa = jnp.concatenate([a_soa, pad_a], axis=1)
+        b_soa = jnp.concatenate([b_soa, jnp.zeros((br, nbp - nb), dt)], axis=1)
+
+    grid = (nbp // _TILE,)
+    x_soa = pl.pallas_call(
+        _lstsq_kernel(br, bc),
+        out_shape=jax.ShapeDtypeStruct((bc, nbp), dt),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((br * bc, _TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((br, _TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bc, _TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(a_soa, b_soa)
+    return jnp.transpose(x_soa[:, :nb], (1, 0)).reshape(nb * bc)
+
+
+def _qr_r_kernel(br: int, bc: int):
+    def kernel(a_ref, r_ref):
+        dt = a_ref.dtype
+        a = [[a_ref[r * bc + c : r * bc + c + 1, :] for c in range(bc)] for r in range(br)]
+        one = jnp.ones_like(a[0][0])
+        zero = jnp.zeros_like(a[0][0])
+        for j in range(bc):
+            x0 = a[j][j]
+            sigma = zero
+            for r in range(j + 1, br):
+                sigma = sigma + a[r][j] * a[r][j]
+            norm = jnp.sqrt(x0 * x0 + sigma)
+            beta = jnp.where(x0 >= 0, -norm, norm)
+            degen = sigma <= 0
+            denom = jnp.where(degen, one, x0 - beta)
+            safe_beta = jnp.where(norm == 0, one, beta)
+            tau = jnp.where(degen, zero, (beta - x0) / safe_beta)
+            v = [zero] * br
+            v[j] = one
+            for r in range(j + 1, br):
+                v[r] = a[r][j] / denom
+            for c in range(j, bc):
+                w = zero
+                for r in range(j, br):
+                    w = w + v[r] * a[r][c]
+                w = tau * w
+                for r in range(j, br):
+                    a[r][c] = a[r][c] - v[r] * w
+        k = 0
+        for j in range(bc):
+            for c in range(j, bc):
+                r_ref[k : k + 1, :] = a[j][c]
+                k += 1
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pallas_block_diagonal_qr_r(
+    blocks: jnp.ndarray, interpret: bool = False
+) -> jnp.ndarray:
+    """Lane-batched R factors of a [nb, br, bc] batch → packed [nb, bc*(bc+1)/2]
+    upper-triangular entries in row-major (j, c>=j) order."""
+    nb, br, bc = blocks.shape
+    dt = blocks.dtype
+    ntri = bc * (bc + 1) // 2
+    nbp = -(-nb // _TILE) * _TILE
+    a_soa = jnp.transpose(blocks, (1, 2, 0)).reshape(br * bc, nb)
+    if nbp != nb:
+        a_soa = jnp.concatenate([a_soa, jnp.zeros((br * bc, nbp - nb), dt)], axis=1)
+    r_soa = pl.pallas_call(
+        _qr_r_kernel(br, bc),
+        out_shape=jax.ShapeDtypeStruct((ntri, nbp), dt),
+        grid=(nbp // _TILE,),
+        in_specs=[
+            pl.BlockSpec((br * bc, _TILE), lambda i: (0, i), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec((ntri, _TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(a_soa)
+    return jnp.transpose(r_soa[:, :nb], (1, 0))

@@ -1,0 +1,38 @@
+"""Plan persistence and profiling utilities."""
+import os
+
+import numpy as np
+
+from qrkit_tpu.analysis import as_banded_as_possible, block_banded_info
+from qrkit_tpu.persist import load_analysis, plan_from_json, plan_to_json, save_analysis
+from qrkit_tpu.profiling import Timer, timed
+
+from generators import overlapping_block_diagonal_matrix
+
+
+def test_plan_roundtrip(rng, tmp_path):
+    mat = overlapping_block_diagonal_matrix(128, 448, rng, permute_rows=True)
+    perm, _ = as_banded_as_possible(mat)
+    plan = block_banded_info(mat.permute_rows(perm), 2)
+    assert plan_from_json(plan_to_json(plan)) == plan
+
+    path = os.path.join(tmp_path, "analysis.json")
+    save_analysis(path, plan, row_perm=perm)
+    plan2, rp, cp = load_analysis(path)
+    assert plan2 == plan
+    assert np.array_equal(rp.indices, perm.indices)
+    assert cp is None
+    # hashability survives the round trip (jit-cache keying)
+    assert hash(plan2) == hash(plan)
+
+
+def test_timer_and_timed():
+    import jax.numpy as jnp
+
+    timer = Timer()
+    with timer("section"):
+        pass
+    out, secs = timed(lambda: jnp.ones(8) * 2)
+    assert float(out[0]) == 2.0
+    assert secs >= 0
+    assert "section" in timer.summary()
