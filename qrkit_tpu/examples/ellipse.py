@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..containers import BlockDiagonal, BlockMatrix1x2
-from ..lm import LMConfig, LMResult, levenberg_marquardt
+from ..lm import LMConfig, LMResult, levenberg_marquardt, levenberg_marquardt_device
 from ..solvers import BlockAngularQR, BlockDiagonalQR, DenseColPivQR, QFormat
 
 __all__ = ["Ellipse", "ellipse_points", "EllipseFitting", "fit_ellipse"]
@@ -119,6 +119,19 @@ def _damped_system(left, right, res, lam):
     return left_d, right_d, rhs
 
 
+def _residuals_aux(params, pts):
+    return _residuals(params, pts)
+
+
+def _damped_step_aux(params, res, lam, pts):
+    """Module-level damped step (hashable for the device-loop compile cache)."""
+    from ..functional import block_angular_lstsq
+
+    left, right = _jacobian_blocks(params, pts)
+    left_d, right_d, rhs = _damped_system(left, right, res, lam)
+    return block_angular_lstsq(left_d, right_d, rhs, n_shards=1, tail=5)
+
+
 class EllipseFitting:
     """LM functor bundle: residuals + damped structured step via block-angular QR.
 
@@ -190,14 +203,23 @@ def fit_ellipse(
     config: Optional[LMConfig] = None,
     dtype=jnp.float64,
     fused: bool = True,
+    loop: str = "device",
 ) -> Tuple[LMResult, np.ndarray]:
-    """End-to-end LM ellipse fit; returns (LMResult, canonicalized params)."""
+    """End-to-end LM ellipse fit; returns (LMResult, canonicalized params).
+
+    ``loop="device"`` (default) runs the whole minimize as one compiled
+    program (lax.while_loop); ``loop="host"`` uses the Python-driven loop.
+    """
     functor = EllipseFitting(pts, dtype=dtype, fused=fused)
-    result = levenberg_marquardt(
-        functor.residuals,
-        functor.damped_step,
-        functor.initial_params(),
-        config or LMConfig(max_iters=60),
-    )
+    cfg = config or LMConfig(max_iters=60)
+    if loop == "device":
+        result = levenberg_marquardt_device(
+            _residuals_aux, _damped_step_aux, functor.initial_params(), cfg,
+            aux=functor.pts,
+        )
+    else:
+        result = levenberg_marquardt(
+            functor.residuals, functor.damped_step, functor.initial_params(), cfg
+        )
     canon = canonicalize_ellipse(np.asarray(result.x), functor.n)
     return result, canon

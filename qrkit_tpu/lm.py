@@ -22,7 +22,7 @@ from typing import Callable, NamedTuple, Optional
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["LMConfig", "LMResult", "levenberg_marquardt"]
+__all__ = ["LMConfig", "LMResult", "levenberg_marquardt", "levenberg_marquardt_device"]
 
 
 @dataclasses.dataclass
@@ -93,3 +93,107 @@ def levenberg_marquardt(
             if lam >= cfg.lambda_max:
                 break
     return LMResult(x, cost, it, converged, lam)
+
+
+def _cfg_key(cfg: LMConfig):
+    return (
+        cfg.max_iters, cfg.ftol, cfg.xtol, cfg.gtol,
+        cfg.lambda_init, cfg.lambda_min, cfg.lambda_max,
+    )
+
+
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=64)
+def _build_device_minimize(residual_fn, damped_step_fn, cfg_tuple):
+    import jax
+
+    cfg = LMConfig(*cfg_tuple)
+
+    def _minimize(x0, aux):
+        dt = x0.dtype
+        r0 = residual_fn(x0, aux)
+        cost0 = 0.5 * jnp.vdot(r0, r0).real.astype(dt)
+
+        def cond(state):
+            _, _, _, _, _, it, done = state
+            return jnp.logical_and(it < cfg.max_iters, jnp.logical_not(done))
+
+        def body(state):
+            x, r, cost, lam, nu, it, done = state
+            delta = damped_step_fn(x, r, lam, aux)
+            x_new = x + delta
+            r_new = residual_fn(x_new, aux)
+            cost_new = 0.5 * jnp.vdot(r_new, r_new).real.astype(dt)
+            accept = cost_new < cost
+
+            dn = jnp.vdot(delta, delta).real.astype(dt)
+            predicted = jnp.maximum(0.5 * lam * dn, jnp.asarray(1e-30, dt))
+            rho = (cost - cost_new) / predicted
+            shrink = jnp.maximum(
+                jnp.asarray(1.0 / 3.0, dt), 1.0 - (2.0 * rho - 1.0) ** 3
+            )
+            lam_acc = jnp.maximum(lam * shrink, jnp.asarray(cfg.lambda_min, dt))
+            lam_rej = jnp.minimum(lam * nu, jnp.asarray(cfg.lambda_max, dt))
+            lam_new = jnp.where(accept, lam_acc, lam_rej)
+            nu_new = jnp.where(
+                accept, jnp.asarray(2.0, dt), jnp.minimum(nu * 2.0, jnp.asarray(64.0, dt))
+            )
+
+            step_small = jnp.sqrt(dn) <= cfg.xtol * (
+                jnp.linalg.norm(x) + jnp.asarray(cfg.xtol, dt)
+            )
+            cost_small = (cost - cost_new) <= cfg.ftol * jnp.maximum(
+                cost, jnp.asarray(1e-30, dt)
+            )
+            done_new = jnp.where(
+                accept,
+                jnp.logical_or(step_small, cost_small),
+                lam_rej >= jnp.asarray(cfg.lambda_max, dt),
+            )
+
+            x_out = jnp.where(accept, x_new, x)
+            r_out = jnp.where(accept, r_new, r)
+            cost_out = jnp.where(accept, cost_new, cost)
+            return (x_out, r_out, cost_out, lam_new, nu_new, it + 1, done_new)
+
+        init = (
+            x0,
+            r0,
+            cost0,
+            jnp.asarray(cfg.lambda_init, dt),
+            jnp.asarray(2.0, dt),
+            jnp.asarray(0, jnp.int32),
+            jnp.asarray(False),
+        )
+        return jax.lax.while_loop(cond, body, init)
+
+    return jax.jit(_minimize)
+
+
+def levenberg_marquardt_device(
+    residual_fn: Callable,
+    damped_step_fn: Callable,
+    x0: jnp.ndarray,
+    config: Optional[LMConfig] = None,
+    aux=None,
+) -> LMResult:
+    """Whole-minimize-on-device LM: ONE compiled program.
+
+    The host-loop variant pays a dispatch round trip per jitted call per
+    iteration — fine on-node, dominant through a remote accelerator.  Here the
+    full minimize (damped step, acceptance test, lambda adaptation, convergence
+    checks) is a ``lax.while_loop``.  Signatures differ from the host loop so
+    the compiled program caches across problem instances:
+    ``residual_fn(x, aux)`` and ``damped_step_fn(x, r, lam, aux)`` must be
+    module-level (hashable) traceable callables; per-problem data (points,
+    measurements, ...) travels through ``aux`` as a traced operand.
+
+    The reference has no analog (Eigen LM is a host loop) — this is the
+    TPU-native "train loop as one XLA program" form.
+    """
+    cfg = config or LMConfig()
+    fn = _build_device_minimize(residual_fn, damped_step_fn, _cfg_key(cfg))
+    x, r, cost, lam, nu, it, done = fn(jnp.asarray(x0), aux)
+    return LMResult(x, float(cost), int(it), bool(done), float(lam))
