@@ -18,6 +18,7 @@ fused product (/root/reference/src/QRKit/SparseBlockYTY.h:69-144, BlockYTY.h):
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional
 
 import jax
@@ -26,6 +27,31 @@ import jax.numpy as jnp
 from .householder import highest_precision
 
 __all__ = ["CompactWYSeq"]
+
+
+@functools.partial(jax.jit, static_argnames=("transpose", "vec"))
+@highest_precision
+def _apply_seq(seq: "CompactWYSeq", M: jnp.ndarray, transpose: bool, vec: bool):
+    if vec:
+        M = M[:, None]
+    k = M.shape[1]
+    W = seq.window
+    Mp = jnp.concatenate([M, jnp.zeros((W, k), M.dtype)], axis=0)
+
+    def body(carry, blk):
+        Yk, Tk, sk = blk
+        zero = jnp.zeros((), sk.dtype)
+        w = jax.lax.dynamic_slice(carry, (sk, zero), (W, k))
+        Tt = Tk.T if transpose else Tk
+        w = w + Yk @ (Tt @ (Yk.T @ w))
+        carry = jax.lax.dynamic_update_slice(carry, w, (sk, zero))
+        return carry, None
+
+    out, _ = jax.lax.scan(
+        body, Mp, (seq.Y, seq.T, seq.start), reverse=not transpose
+    )
+    out = out[: seq.m]
+    return out[:, 0] if vec else out
 
 
 @jax.tree_util.register_pytree_node_class
@@ -58,29 +84,8 @@ class CompactWYSeq:
     def window(self) -> int:
         return self.Y.shape[1]
 
-    @highest_precision
     def _apply(self, M: jnp.ndarray, transpose: bool) -> jnp.ndarray:
-        vec = M.ndim == 1
-        if vec:
-            M = M[:, None]
-        k = M.shape[1]
-        W = self.window
-        Mp = jnp.concatenate([M, jnp.zeros((W, k), M.dtype)], axis=0)
-
-        def body(carry, blk):
-            Yk, Tk, sk = blk
-            zero = jnp.zeros((), sk.dtype)
-            w = jax.lax.dynamic_slice(carry, (sk, zero), (W, k))
-            Tt = Tk.T if transpose else Tk
-            w = w + Yk @ (Tt @ (Yk.T @ w))
-            carry = jax.lax.dynamic_update_slice(carry, w, (sk, zero))
-            return carry, None
-
-        out, _ = jax.lax.scan(
-            body, Mp, (self.Y, self.T, self.start), reverse=not transpose
-        )
-        out = out[: self.m]
-        return out[:, 0] if vec else out
+        return _apply_seq(self, M, transpose, M.ndim == 1)
 
     def apply_q(self, M: jnp.ndarray) -> jnp.ndarray:
         """Q · M — reverse-order block product (SparseBlockYTY.h:126-138)."""

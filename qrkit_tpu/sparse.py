@@ -21,7 +21,7 @@ import numpy as np
 
 from . import _native
 
-__all__ = ["Permutation", "SparseCSR", "coo_to_csr"]
+__all__ = ["Permutation", "SparseCSR", "coo_to_csr", "load_matrix_market", "save_matrix_market"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -254,3 +254,46 @@ class SparseCSR:
         out = np.zeros(self.nrows, dtype=np.result_type(self.data, v))
         np.add.at(out, row_ids, self.data * v[self.indices])
         return out
+
+
+def load_matrix_market(path: str) -> "SparseCSR":
+    """Read a MatrixMarket coordinate file (the reference pulls in
+    unsupported/Eigen/SparseExtra for the same capability, BandedBlockedSparseQR.h:18)."""
+    with open(path) as f:
+        header = f.readline()
+        if not header.startswith("%%MatrixMarket"):
+            raise ValueError("not a MatrixMarket file")
+        parts = header.split()
+        symmetric = "symmetric" in parts
+        pattern = "pattern" in parts
+        line = f.readline()
+        while line.startswith("%"):
+            line = f.readline()
+        nrows, ncols, nnz = (int(v) for v in line.split())
+        rows = np.empty(nnz, dtype=np.int64)
+        cols = np.empty(nnz, dtype=np.int64)
+        vals = np.ones(nnz, dtype=np.float64)
+        for k in range(nnz):
+            entries = f.readline().split()
+            rows[k] = int(entries[0]) - 1
+            cols[k] = int(entries[1]) - 1
+            if not pattern:
+                vals[k] = float(entries[2])
+    if symmetric:
+        off = rows != cols
+        rows, cols, vals = (
+            np.concatenate([rows, cols[off]]),
+            np.concatenate([cols, rows[off]]),
+            np.concatenate([vals, vals[off]]),
+        )
+    return SparseCSR.from_triplets(rows, cols, vals, (nrows, ncols))
+
+
+def save_matrix_market(path: str, mat: "SparseCSR"):
+    """Write a MatrixMarket coordinate file."""
+    row_ids = np.repeat(np.arange(mat.nrows), np.diff(mat.indptr))
+    with open(path, "w") as f:
+        f.write("%%MatrixMarket matrix coordinate real general\n")
+        f.write(f"{mat.nrows} {mat.ncols} {mat.nnz}\n")
+        for r, c, v in zip(row_ids, mat.indices, mat.data):
+            f.write(f"{r + 1} {c + 1} {v:.17g}\n")
