@@ -75,9 +75,73 @@ def banded_geometry(plan: StructurePlan):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_active", "max_cols", "max_carry", "max_zeros", "max_emit", "m"),
+    static_argnames=("max_active", "max_cols", "max_carry", "max_zeros", "max_emit"),
 )
 @highest_precision
+def _banded_factorize_chunk(
+    C0: jnp.ndarray,  # [max_carry, max_cols] incoming carry
+    shifted: jnp.ndarray,  # [L, max_active, max_cols] pre-shifted panels
+    col_inc: jnp.ndarray,  # [L]
+    num_zeros: jnp.ndarray,  # [L]
+    ncols_a: jnp.ndarray,  # [L]
+    active: jnp.ndarray,  # [L] bool — padded tail steps pass the carry through
+    *,
+    max_active: int,
+    max_cols: int,
+    max_carry: int,
+    max_zeros: int,
+    max_emit: int,
+):
+    """One compiled scan chunk of the banded chain.
+
+    The scan body is structurally minimal (per-step latency bounds long chains):
+    panels arrive pre-shifted (the row shift is one batched gather outside the
+    scan), the next-carry extraction is a single ``dynamic_slice`` of the
+    zero-padded R (the out-of-overlap region of a triangular R is already
+    zero), and the ``numZeros`` gap insertion is skipped when the plan has no
+    gaps.  ``active`` masks padded steps so chains of any length reuse one
+    compiled chunk.
+    """
+    dt = shifted.dtype
+    W = max_active + max_zeros
+    w_iota = jax.lax.broadcasted_iota(jnp.int32, (W,), 0)
+
+    def body(carry, xs):
+        C = carry
+        panel_s, ci, nz, nc, act = xs
+
+        Ji = panel_s.at[:max_carry].add(C)
+        Y, T, V = panel_qr_yt(Ji)
+        V = jnp.triu(V)
+
+        if max_zeros == 0:
+            Yw = Y
+        else:
+            wsrc = jnp.where(w_iota < nc, w_iota, w_iota - nz)
+            wvalid = ((w_iota < nc) | (w_iota >= nc + nz)) & (wsrc < max_active)
+            Yw = jnp.where(
+                wvalid[:, None],
+                Y[jnp.clip(wsrc, 0, max_active - 1)],
+                jnp.zeros((), dt),
+            )
+
+        Vp = jnp.pad(V, ((0, max_carry), (0, max_cols)))
+        Cn = jax.lax.dynamic_slice(Vp, (ci, ci), (max_carry, max_cols))
+
+        zero = jnp.zeros((), dt)
+        Cn = jnp.where(act, Cn, C)
+        Yw = jnp.where(act, Yw, zero)
+        T = jnp.where(act, T, zero)
+        Vout = jnp.where(act, V[:max_emit], zero)
+        return Cn, (Yw, T, Vout)
+
+    xs = (shifted, col_inc, num_zeros, ncols_a, active)
+    return jax.lax.scan(body, C0, xs)
+
+
+_CHUNK = 256
+
+
 def banded_factorize(
     panels: jnp.ndarray,  # [nb, mR, max_cols] dense blocks of the permuted matrix
     geom: dict,  # int32 arrays [nb]: carry_rows, col_inc, num_zeros, ncols, nrows, cols
@@ -89,96 +153,103 @@ def banded_factorize(
     max_emit: int,
     m: int,
 ):
-    """The scan over blocks.  Returns (CompactWYSeq, R panels [nb, max_emit, max_cols])."""
+    """Banded-chain factorization.  Returns (CompactWYSeq, R panels [nb, ...]).
+
+    Long chains are processed as fixed-size compiled scan chunks with the
+    overlap carry threaded between calls — the TPU backend's compile time grows
+    with scan *length*, so one ``_CHUNK``-step program (reused for every chunk
+    and every same-shaped plan) keeps compilation bounded while the math is
+    identical to a single scan.
+    """
     nb, mR, _ = panels.shape
     dt = panels.dtype
-    W = max_active + max_zeros
 
-    rows_iota = jax.lax.broadcasted_iota(jnp.int32, (max_active,), 0)
-    w_iota = jax.lax.broadcasted_iota(jnp.int32, (W,), 0)
-    carry_r_iota = jax.lax.broadcasted_iota(jnp.int32, (max_carry,), 0)
-    cols_iota = jax.lax.broadcasted_iota(jnp.int32, (max_cols,), 0)
+    carry_rows = geom["carry_rows"].astype(jnp.int32)
+    col_inc = geom["col_inc"].astype(jnp.int32)
+    num_zeros = geom["num_zeros"].astype(jnp.int32)
+    ncols_a = geom["ncols"].astype(jnp.int32)
+    nrows_a = geom["nrows"].astype(jnp.int32)
 
-    def body(carry, xs):
-        C = carry  # [max_carry, max_cols] previous overlap block of R
-        panel, carry_rows, col_inc, num_zeros, ncols, nrows = xs
+    shifted = _shift_panels(panels, carry_rows, nrows_a, max_active)
 
-        # ---- assemble Ji: carry on top, matrix rows shifted down (ref :494-507) ----
-        Ji = jnp.zeros((max_active, max_cols), dt)
-        Ji = Ji.at[:max_carry].set(C)
-        src = rows_iota - carry_rows
-        valid = (src >= 0) & (src < nrows)
-        src_c = jnp.clip(src, 0, mR - 1)
-        Ji = Ji + jnp.where(valid[:, None], panel[src_c], jnp.zeros((), dt))
-
-        # ---- compact-WY panel QR (ref :468-477) ------------------------------------
-        Y, T, V = panel_qr_yt(Ji)
-        V = jnp.triu(V)
-
-        # ---- YTY window: insert num_zeros gap rows after the diagonal part ---------
-        wsrc = jnp.where(w_iota < ncols, w_iota, w_iota - num_zeros)
-        wvalid = ((w_iota < ncols) | (w_iota >= ncols + num_zeros)) & (
-            wsrc < max_active
-        )
-        Yw = jnp.where(wvalid[:, None], Y[jnp.clip(wsrc, 0, max_active - 1)], jnp.zeros((), dt))
-
-        # ---- next carry: shifted overlap of V (ref :494-507) -----------------------
-        rsrc = carry_r_iota + col_inc
-        csrc = cols_iota + col_inc
-        next_rows = nrows - col_inc  # rows_i - colIncrement
-        cvalid = (carry_r_iota < next_rows)[:, None] & (csrc < ncols)[None, :]
-        Cn = jnp.where(
-            cvalid,
-            V[jnp.clip(rsrc, 0, max_active - 1)][:, jnp.clip(csrc, 0, max_cols - 1)],
-            jnp.zeros((), dt),
-        )
-
-        return Cn, (Yw, T, V[:max_emit])
-
-    C0 = jnp.zeros((max_carry, max_cols), dt)
-    xs = (
-        panels,
-        geom["carry_rows"].astype(jnp.int32),
-        geom["col_inc"].astype(jnp.int32),
-        geom["num_zeros"].astype(jnp.int32),
-        geom["ncols"].astype(jnp.int32),
-        geom["nrows"].astype(jnp.int32),
+    kw = dict(
+        max_active=max_active,
+        max_cols=max_cols,
+        max_carry=max_carry,
+        max_zeros=max_zeros,
+        max_emit=max_emit,
     )
-    _, (Yws, Ts, Vs) = jax.lax.scan(body, C0, xs)
+    C = jnp.zeros((max_carry, max_cols), dt)
+    if nb <= _CHUNK + _CHUNK // 2:
+        active = jnp.ones((nb,), bool)
+        _, (Yws, Ts, Vs) = _banded_factorize_chunk(
+            C, shifted, col_inc, num_zeros, ncols_a, active, **kw
+        )
+    else:
+        pad = (-nb) % _CHUNK
+        def padded(a, fill=0):
+            return jnp.concatenate(
+                [a, jnp.full((pad,) + a.shape[1:], fill, a.dtype)], axis=0
+            )
+        shifted_p = padded(shifted)
+        ci_p, nz_p, nc_p = padded(col_inc), padded(num_zeros), padded(ncols_a)
+        act_p = jnp.concatenate([jnp.ones((nb,), bool), jnp.zeros((pad,), bool)])
+        ys = []
+        for k in range(0, nb + pad, _CHUNK):
+            C, y = _banded_factorize_chunk(
+                C,
+                shifted_p[k : k + _CHUNK],
+                ci_p[k : k + _CHUNK],
+                nz_p[k : k + _CHUNK],
+                nc_p[k : k + _CHUNK],
+                act_p[k : k + _CHUNK],
+                **kw,
+            )
+            ys.append(y)
+        Yws = jnp.concatenate([y[0] for y in ys])[:nb]
+        Ts = jnp.concatenate([y[1] for y in ys])[:nb]
+        Vs = jnp.concatenate([y[2] for y in ys])[:nb]
 
     seq = CompactWYSeq(Yws, Ts, geom["cols"].astype(jnp.int32), m)
     return seq, Vs
 
 
-@functools.partial(jax.jit, static_argnames=("max_emit", "max_cols", "n"))
+@functools.partial(jax.jit, static_argnames=("max_active",))
+def _shift_panels(panels, carry_rows, nrows_a, max_active: int):
+    """Shift each panel down by its carry_rows — one batched gather."""
+    nb, mR, _ = panels.shape
+    rows_iota = jax.lax.broadcasted_iota(jnp.int32, (max_active,), 0)
+    src = rows_iota[None, :] - carry_rows[:, None]
+    valid = (src >= 0) & (src < nrows_a[:, None])
+    src_c = jnp.clip(src, 0, mR - 1)
+    return jnp.where(
+        valid[:, :, None],
+        jnp.take_along_axis(panels, src_c[:, :, None].astype(jnp.int32), axis=1),
+        jnp.zeros((), panels.dtype),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("max_emit", "max_cols"))
 @highest_precision
-def banded_solve_r(
-    r_panels: jnp.ndarray,  # [nb, max_emit, max_cols]
-    cols: jnp.ndarray,  # [nb] block col offsets
-    emit_rows: jnp.ndarray,  # [nb]
-    ncols_arr: jnp.ndarray,  # [nb]
-    y: jnp.ndarray,  # [n]
+def _banded_solve_chunk(
+    xpad: jnp.ndarray,  # [n + max_cols] solution-so-far (carried between chunks)
+    ypad: jnp.ndarray,  # [n + max_cols]
+    r_panels: jnp.ndarray,  # [L, max_emit, max_cols]
+    cols: jnp.ndarray,  # [L]
+    emit_rows: jnp.ndarray,  # [L]
+    ncols_arr: jnp.ndarray,  # [L]
+    active: jnp.ndarray,  # [L]
     *,
     max_emit: int,
     max_cols: int,
-    n: int,
 ):
-    """Blocked back-substitution: reverse scan over blocks.
-
-    Solves R x = y with the banded upper-triangular R stored as per-block
-    panels, without ever materializing R — each step is one [max_emit]²
-    triangular solve plus a small matvec against already-solved x entries.
-    """
     dt = r_panels.dtype
-    xpad = jnp.zeros((n + max_cols,), dt)
-    ypad = jnp.concatenate([y, jnp.zeros((max_cols,), dt)])
     r_iota = jax.lax.broadcasted_iota(jnp.int32, (max_emit,), 0)
     c_iota = jax.lax.broadcasted_iota(jnp.int32, (max_cols,), 0)
     eye = jnp.eye(max_emit, dtype=dt)
 
     def body(xcarry, xs):
-        V, c0, er, nc = xs
-        zero = jnp.zeros((), c0.dtype)
+        V, c0, er, nc, act = xs
         # subtract known-x contributions from overlap columns j in [er, nc)
         xwin = jax.lax.dynamic_slice(xcarry, (c0,), (max_cols,))
         maskj = (c_iota >= er) & (c_iota < nc)
@@ -192,12 +263,61 @@ def banded_solve_r(
             U, rhs[:, None], left_side=True, lower=False
         )[:, 0]
         old = jax.lax.dynamic_slice(xcarry, (c0,), (max_emit,))
-        new = jnp.where(r_iota < er, xblk, old)
+        new = jnp.where((r_iota < er) & act, xblk, old)
         xcarry = jax.lax.dynamic_update_slice(xcarry, new, (c0,))
         return xcarry, None
 
-    xs = (r_panels, cols.astype(jnp.int32), emit_rows.astype(jnp.int32), ncols_arr.astype(jnp.int32))
+    xs = (r_panels, cols, emit_rows, ncols_arr, active)
     xpad, _ = jax.lax.scan(body, xpad, xs, reverse=True)
+    return xpad
+
+
+def banded_solve_r(
+    r_panels: jnp.ndarray,  # [nb, max_emit, max_cols]
+    cols: jnp.ndarray,  # [nb] block col offsets
+    emit_rows: jnp.ndarray,  # [nb]
+    ncols_arr: jnp.ndarray,  # [nb]
+    y: jnp.ndarray,  # [n]
+    *,
+    max_emit: int,
+    max_cols: int,
+    n: int,
+):
+    """Blocked back-substitution: reverse scan over blocks (chunked like
+    :func:`banded_factorize` to bound compile time on long chains).
+
+    Solves R x = y with the banded upper-triangular R stored as per-block
+    panels, without ever materializing R — each step is one [max_emit]²
+    triangular solve plus a small matvec against already-solved x entries.
+    """
+    dt = r_panels.dtype
+    nb = r_panels.shape[0]
+    xpad = jnp.zeros((n + max_cols,), dt)
+    ypad = jnp.concatenate([y, jnp.zeros((max_cols,), dt)])
+    cols32 = cols.astype(jnp.int32)
+    er32 = emit_rows.astype(jnp.int32)
+    nc32 = ncols_arr.astype(jnp.int32)
+    kw = dict(max_emit=max_emit, max_cols=max_cols)
+    if nb <= _CHUNK + _CHUNK // 2:
+        active = jnp.ones((nb,), bool)
+        xpad = _banded_solve_chunk(
+            xpad, ypad, r_panels, cols32, er32, nc32, active, **kw
+        )
+    else:
+        pad = (-nb) % _CHUNK
+        def padded(a):
+            return jnp.concatenate(
+                [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], axis=0
+            )
+        rp, cp, ep, np_ = padded(r_panels), padded(cols32), padded(er32), padded(nc32)
+        act = jnp.concatenate([jnp.ones((nb,), bool), jnp.zeros((pad,), bool)])
+        total = nb + pad
+        for k in range(total - _CHUNK, -1, -_CHUNK):  # reverse chunk order
+            xpad = _banded_solve_chunk(
+                xpad, ypad, rp[k : k + _CHUNK], cp[k : k + _CHUNK],
+                ep[k : k + _CHUNK], np_[k : k + _CHUNK], act[k : k + _CHUNK],
+                **kw,
+            )
     return xpad[:n]
 
 

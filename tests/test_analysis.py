@@ -150,3 +150,17 @@ def test_sparse_csr_roundtrip(rng):
     v = rng.normal(size=5)
     assert np.allclose(mat.matvec(v), dense @ v)
     assert np.allclose(mat.block_dense(2, 1, 4, 3), dense[2:6, 1:4])
+
+
+def test_matrix_market_roundtrip(rng, tmp_path):
+    import os
+
+    from qrkit_tpu.sparse import load_matrix_market, save_matrix_market
+
+    dense = rng.normal(size=(9, 5))
+    dense[np.abs(dense) < 0.8] = 0.0
+    mat = SparseCSR.from_dense(dense)
+    path = os.path.join(tmp_path, "m.mtx")
+    save_matrix_market(path, mat)
+    back = load_matrix_market(path)
+    assert np.allclose(back.to_dense(), dense)

@@ -88,3 +88,44 @@ def test_banded_matrix_rhs(rng):
     Q = np.asarray(qr.matrix_q_dense())
     assert np.allclose(np.asarray(qr.apply_qt(M)), Q.T @ np.asarray(M), atol=1e-8)
     assert np.allclose(np.asarray(qr.apply_q(M)), Q @ np.asarray(M), atol=1e-8)
+
+
+def test_banded_lm_damped_structure(rng):
+    # The LM damping interleave (sqrt(lambda) rows under each column, forming
+    # 9x2 blocks — test-utils.cpp:254-274) must factorize and solve through the
+    # banded solver: this is the damped system of the reference's banded LM
+    # variant (examples/ellipse_fitting.cpp:149-180).
+    from generators import rowperm_a_diag_lambda
+
+    spj = block_diagonal_matrix(64, 224, rng, permute_rows=False)
+    damped = rowperm_a_diag_lambda(spj, 1e-2)
+    qr = BandedBlockedQR(suggested_block_cols=2).compute(damped)
+    dense = damped.to_dense()
+    x_true = rng.normal(size=damped.ncols)
+    b = qr.rows_permutation().apply(dense @ x_true)
+    x = np.asarray(qr.solve(jnp.asarray(b)))
+    assert np.allclose(x, x_true, atol=1e-7)
+    Q = np.asarray(qr.matrix_q_dense())
+    R = np.asarray(qr.matrix_r_dense())
+    assert np.allclose(Q @ R, qr.rows_permutation().apply(dense), atol=1e-8)
+
+
+def test_banded_chunked_path(rng, monkeypatch):
+    # force the chunked-scan path (production uses chunk=256) and check it
+    # matches the single-scan result exactly
+    import qrkit_tpu.solvers.banded_blocked as bb
+
+    spj = overlapping_block_diagonal_matrix(NUM_PARAMS, NUM_RESIDUALS, rng, False)
+    qr_ref = BandedBlockedQR(suggested_block_cols=8).compute(spj)
+    R_ref = np.asarray(qr_ref.matrix_r_dense())
+
+    monkeypatch.setattr(bb, "_CHUNK", 7)  # 32 blocks -> 5 chunks with padding
+    qr = BandedBlockedQR(suggested_block_cols=8).compute(spj)
+    assert qr.plan.num_blocks > 14
+    R = np.asarray(qr.matrix_r_dense())
+    assert np.allclose(R, R_ref, atol=1e-10)
+    dense = spj.to_dense()
+    x_true = rng.normal(size=spj.ncols)
+    b = qr.rows_permutation().apply(dense @ x_true)
+    x = np.asarray(qr.solve(jnp.asarray(b)))
+    assert np.allclose(x, x_true, atol=1e-7)
