@@ -17,3 +17,6 @@ __all__ = [
     "DenseColPivQR",
     "DenseHouseholderQR",
 ]
+from .segmented_banded import SegmentedBandedQR  # noqa: E402
+
+__all__.append("SegmentedBandedQR")

@@ -1,0 +1,472 @@
+"""Segmented banded QR — the sequential chain, parallelized by composition.
+
+The plain banded solver's ``lax.scan`` has inherent per-step latency: a chain
+of nb blocks costs nb sequential steps (BandedBlockedSparseQR.h:463-508 has the
+same serialization on CPU).  This solver removes it with the *composition* idea
+the reference's own paper advertises, arranged for SPMD hardware:
+
+Split the chain into S segments of L blocks.  Declare the first ``o`` columns
+of each segment (the overlap shared with the previous segment) **boundary**
+columns and the rest **interior**.  Under the column permutation
+``P_split = [interior_0, interior_1, ..., | boundaries]`` the matrix becomes
+block-angular::
+
+    A · P_split = [ A_I | A_B ]
+
+where ``A_I`` is *block-diagonal over segments* (segment rows touch only their
+own interior columns) and ``A_B`` is a thin dense-ish block of boundary
+columns.  Then the standard block-angular algorithm applies
+(BlockAngularSparseQR.h:458-514):
+
+1. QR of ``A_I``   — S independent banded chains, run as ONE ``vmap`` over the
+   segment axis: sequential latency drops from nb steps to L steps.
+2. ``J2 = Q1ᵀ A_B`` — batched implicit-Q product.
+3. QR of the lower rows of J2 — one tall-skinny dense panel QR (width = total
+   boundary columns ≈ S·o).
+4. R assembly / permutation composition / two-phase solve.
+
+The same decomposition is the multi-chip distribution of the banded family:
+shard the segment axis; only step 3 reduces across chips.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..analysis import as_banded_as_possible, block_banded_info, from_block_banded_pattern
+from ..ops.compact_wy import CompactWYSeq
+from ..ops.householder import apply_wy, highest_precision, panel_qr_yt
+from ..plan import StructurePlan
+from ..sparse import Permutation, SparseCSR
+from .banded_blocked import _banded_factorize_chunk, _banded_solve_chunk, banded_geometry
+from .base import ComputationInfo, QRSolver
+
+__all__ = ["SegmentedBandedQR"]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_active", "max_cols", "max_carry", "max_zeros", "max_emit"),
+)
+def _vmapped_chain(C0, shifted, col_inc, num_zeros, ncols_a, active, **kw):
+    """vmap of the banded scan chunk over the segment axis."""
+    f = lambda c, s, ci, nz, nc, a: _banded_factorize_chunk(
+        c, s, ci, nz, nc, a, **kw
+    )
+    return jax.vmap(f)(C0, shifted, col_inc, num_zeros, ncols_a, active)
+
+
+@functools.partial(jax.jit, static_argnames=("transpose", "vec"))
+@highest_precision
+def _segment_apply(Yws, Ts, starts, v_seg, transpose: bool, vec: bool):
+    """Per-segment CompactWY application, vmapped over segments.
+
+    v_seg: [S, seg_rows(+pad)] or [S, seg_rows, k]."""
+    if vec:
+        v_seg = v_seg[..., None]
+    S, rows, k = v_seg.shape
+    W = Yws.shape[2]
+
+    def one(Y, T, st, v):
+        seq = CompactWYSeq(Y, T, st, rows)
+        return seq._apply(v, transpose)
+
+    out = jax.vmap(one, in_axes=(0, 0, 0, 0))(Yws, Ts, starts, v_seg)
+    return out[..., 0] if vec else out
+
+
+class SegmentedBandedQR(QRSolver):
+    """Banded QR with segment-parallel factorization (drop-in for
+    :class:`BandedBlockedQR` on uniform chains; falls back to it otherwise).
+
+    ``segment_blocks`` controls L (blocks per segment).  Requires a uniform
+    plan (equal block shapes/steps after merging, the common case for banded
+    Jacobians); non-uniform plans raise — use :class:`BandedBlockedQR`.
+    """
+
+    def __init__(
+        self,
+        suggested_block_cols: int = 8,
+        segment_blocks: int = 32,
+        block_rows: Optional[int] = None,
+        block_cols: Optional[int] = None,
+        block_overlap: Optional[int] = None,
+    ):
+        self._suggested = suggested_block_cols
+        self.L = segment_blocks
+        self._static = (
+            block_rows is not None and block_cols is not None and block_overlap is not None
+        )
+        self._brows, self._bcols, self._boverlap = block_rows, block_cols, block_overlap
+        self._analysis_ok = False
+
+    # --- shape ----------------------------------------------------------------------
+    @property
+    def rows(self) -> int:
+        return self._nrows
+
+    @property
+    def cols(self) -> int:
+        return self._ncols
+
+    # --- analysis -------------------------------------------------------------------
+    def analyze_pattern(self, mat: SparseCSR):
+        self._nrows, self._ncols = mat.shape
+        if self._static:
+            self._row_perm = Permutation.identity(mat.nrows)
+            self.plan = from_block_banded_pattern(
+                mat.nrows, mat.ncols, self._brows, self._bcols, self._boverlap,
+                self._suggested,
+            )
+        else:
+            self._row_perm, has_perm = as_banded_as_possible(mat)
+            sorted_mat = mat.permute_rows(self._row_perm) if has_perm else mat
+            self.plan = block_banded_info(sorted_mat, self._suggested)
+
+        p = self.plan
+        nb = p.num_blocks
+        if nb < 2 * self.L:
+            raise ValueError("chain too short for segmentation; use BandedBlockedQR")
+        b0 = p.blocks[0]
+        body = p.blocks[1:-1]
+        if not all(b.nrows == b0.nrows and b.ncols == b0.ncols for b in body):
+            raise ValueError("non-uniform plan; use BandedBlockedQR")
+        g = banded_geometry(p)
+        step = int(g["col_inc"][0])
+        if not np.all(g["col_inc"][:-1] == step):
+            raise ValueError("non-uniform column step; use BandedBlockedQR")
+        self._overlap = b0.ncols - step
+        if self._overlap <= 0:
+            raise ValueError("no overlap: use BlockDiagonalQR for this structure")
+        if self._overlap > step:
+            raise ValueError("overlap exceeds column step; use BandedBlockedQR")
+        self.geom = g
+        self._analysis_ok = True
+        return self
+
+    # --- factorization --------------------------------------------------------------
+    def compute(self, mat: SparseCSR, force_pattern_analysis: bool = False):
+        if not self._analysis_ok or force_pattern_analysis:
+            self.analyze_pattern(mat)
+        p, g = self.plan, self.geom
+        nb, L = p.num_blocks, self.L
+        o = self._overlap
+        S = -(-nb // L)
+        self.S = S
+        pmat = (
+            mat.permute_rows(self._row_perm)
+            if not self._row_perm.is_identity()
+            else mat
+        )
+        rows_, cols_, nrows_, ncols_ = p.as_arrays()
+        step = int(g["col_inc"][0])
+
+        # --- segment row/column spans (host) --------------------------------------
+        seg_first = [s * L for s in range(S)]
+        seg_last = [min((s + 1) * L, nb) - 1 for s in range(S)]
+        seg_row0 = [int(rows_[f]) for f in seg_first]
+        seg_row1 = [
+            int(rows_[l] + nrows_[l]) if l == nb - 1 else int(rows_[seg_first[s + 1]])
+            for s, l in enumerate(seg_last)
+        ]
+        self._seg_rows = [r1 - r0 for r0, r1 in zip(seg_row0, seg_row1)]
+        self._seg_row0 = seg_row0
+        max_seg_rows = max(self._seg_rows)
+
+        # boundary columns: first o cols of segments 1..S-1
+        bcols = []
+        for s in range(1, S):
+            c0 = int(cols_[seg_first[s]])
+            bcols.extend(range(c0, c0 + o))
+        self._bcols_idx = np.asarray(bcols, dtype=np.int64)
+        interior_mask = np.ones(self._ncols, dtype=bool)
+        interior_mask[self._bcols_idx] = False
+        self._icols_idx = np.nonzero(interior_mask)[0]
+        self._m1 = int(self._icols_idx.size)  # total interior columns
+        self._m2 = int(self._bcols_idx.size)
+
+        # per-segment interior column counts and local offsets
+        self._seg_ncols = []
+        for s in range(S):
+            f, l = seg_first[s], seg_last[s]
+            c_end = int(cols_[l] + ncols_[l]) - o if l < nb - 1 else self._ncols
+            c_begin = int(cols_[f]) + (o if s > 0 else 0)
+            self._seg_ncols.append(c_end - c_begin)
+        self._seg_col0 = np.concatenate([[0], np.cumsum(self._seg_ncols)])[:-1]
+
+        # --- per-segment local plans + geometry (host) -----------------------------
+        # Each segment is a standalone banded chain over its interior columns:
+        # the leading o columns of segments 1.. and the trailing o columns of
+        # segments ..S-2 are boundary (right-block) columns and are excluded.
+        from ..plan import BlockInfo as _BI, StructurePlan as _SP
+
+        mR = int(nrows_.max())
+        seg_geoms = []
+        seg_plans = []
+        for s_i in range(S):
+            f, l = seg_first[s_i], seg_last[s_i]
+            colbase = int(cols_[f]) + (o if s_i > 0 else 0)
+            blocks_s = []
+            for i in range(f, l + 1):
+                drop_lead = o if (s_i > 0 and i == f) else 0
+                drop_tail = o if (s_i < S - 1 and i == l) else 0
+                blocks_s.append(
+                    _BI(
+                        int(rows_[i]) - seg_row0[s_i],
+                        int(cols_[i]) + drop_lead - colbase,
+                        int(nrows_[i]),
+                        int(ncols_[i]) - drop_lead - drop_tail,
+                    )
+                )
+            plan_s = _SP(self._seg_rows[s_i], self._seg_ncols[s_i], tuple(blocks_s))
+            seg_plans.append(plan_s)
+            seg_geoms.append(banded_geometry(plan_s))
+
+        # stacked [S, L] geometry (padded steps inactive)
+        loc_geom = {
+            k: np.zeros((S, L), dtype=np.int64)
+            for k in ("carry_rows", "col_inc", "num_zeros", "ncols", "nrows", "cols")
+        }
+        active = np.zeros((S, L), dtype=bool)
+        emit = np.zeros((S, L), dtype=np.int64)
+        max_cols = 1
+        for s_i in range(S):
+            gs = seg_geoms[s_i]
+            nsteps = seg_last[s_i] - seg_first[s_i] + 1
+            active[s_i, :nsteps] = True
+            emit[s_i, :nsteps] = gs["emit_rows"]
+            for k in loc_geom:
+                loc_geom[k][s_i, :nsteps] = gs[k if k != "cols" else "cols"]
+            max_cols = max(max_cols, int(gs["ncols"].max()))
+        self._emit = emit
+
+        # dense panels (rows local to segment, cols local to block)
+        panels = np.zeros((S, L, mR, max_cols), dtype=np.float64)
+        for s_i in range(S):
+            colbase = int(cols_[seg_first[s_i]]) + (o if s_i > 0 else 0)
+            for j, b in enumerate(seg_plans[s_i].blocks):
+                panels[s_i, j, : b.nrows, : b.ncols] = pmat.block_dense(
+                    seg_row0[s_i] + b.row, colbase + b.col, b.nrows, b.ncols
+                )
+
+        # boundary block A_B (dense [m, m2])
+        if self._m2:
+            ab_stack = pmat.blocks_dense(
+                [(0, int(c), self._nrows, 1) for c in self._bcols_idx],
+                self._nrows, 1,
+            )  # [m2, m, 1]
+            a_b = np.ascontiguousarray(ab_stack[:, :, 0].T)
+        else:
+            a_b = np.zeros((self._nrows, 0))
+        max_active_loc = max(int(g_s["active"].max()) for g_s in seg_geoms)
+        max_carry_loc = max(max(int(g_s["carry_rows"].max()) for g_s in seg_geoms), 1)
+        max_zeros_loc = max(int(g_s["num_zeros"].max()) for g_s in seg_geoms)
+
+        # --- device phase 1: vmapped segment chains --------------------------------
+        dtype = jnp.float32 if not jax.config.jax_enable_x64 else jnp.float64
+        max_active = max_active_loc
+        max_carry = max_carry_loc
+        max_zeros = max_zeros_loc
+        max_emit = int(emit.max())
+        self._max_cols = max_cols
+        self._max_emit = max_emit
+
+        from .banded_blocked import _shift_panels
+
+        pj = jnp.asarray(panels.reshape(S * L, mR, max_cols), dtype=dtype)
+        shifted = _shift_panels(
+            pj,
+            jnp.asarray(loc_geom["carry_rows"].reshape(-1), dtype=jnp.int32),
+            jnp.asarray(loc_geom["nrows"].reshape(-1), dtype=jnp.int32),
+            max_active,
+        ).reshape(S, L, max_active, max_cols)
+
+        kw = dict(
+            max_active=max_active,
+            max_cols=max_cols,
+            max_carry=max_carry,
+            max_zeros=max_zeros,
+            max_emit=max_emit,
+        )
+        C0 = jnp.zeros((S, max_carry, max_cols), dtype)
+        Cout, (Yws, Ts, Vs) = _vmapped_chain(
+            C0,
+            shifted,
+            jnp.asarray(loc_geom["col_inc"], dtype=jnp.int32),
+            jnp.asarray(loc_geom["num_zeros"], dtype=jnp.int32),
+            jnp.asarray(loc_geom["ncols"], dtype=jnp.int32),
+            jnp.asarray(active),
+            **kw,
+        )
+        # per-segment implicit Q: windows anchored at local column offsets
+        self._Yws, self._Ts = Yws, Ts
+        self._starts = jnp.asarray(loc_geom["cols"], dtype=jnp.int32)
+        self._max_seg_rows = max_seg_rows
+        self._r_panels = Vs  # [S, L, max_emit, max_cols]
+        self._loc_geom = loc_geom
+        self._active = active
+
+        # --- phase 2: Q1ᵀ A_B, thin QR of its lower rows ---------------------------
+        ab = jnp.asarray(a_b, dtype=dtype)
+        j2 = self._apply_left_qt(ab)
+        self._j2_top = j2[: self._m1]
+        j2_bot = j2[self._m1 :]
+        self._Y2, self._T2, R2 = panel_qr_yt(j2_bot)
+        self._R2 = jnp.triu(R2)[: self._m2]
+
+        # column permutation: P_split (interior-first) — A · P = Q · R
+        self._cols_perm = Permutation(
+            np.concatenate([self._icols_idx, self._bcols_idx])
+        )
+        self._info = ComputationInfo.SUCCESS
+        return self
+
+    # --- left (segment) Q ------------------------------------------------------
+    def _gather_maps(self):
+        """Precompute index maps between global rows and padded segment rows."""
+        if hasattr(self, "_seg_gather"):
+            return
+        S = self.S
+        R = self._max_seg_rows
+        gather = np.zeros((S, R), dtype=np.int64)
+        valid = np.zeros((S, R), dtype=bool)
+        for s in range(S):
+            n = self._seg_rows[s]
+            gather[s, :n] = self._seg_row0[s] + np.arange(n)
+            valid[s, :n] = True
+        self._seg_gather = jnp.asarray(gather)
+        self._seg_valid = jnp.asarray(valid)
+        # output reordering: all segments' R-rows (n_loc each) first, then rest
+        order = []
+        for s in range(S):
+            order.extend(range(self._seg_row0[s], self._seg_row0[s] + self._seg_ncols[s]))
+        for s in range(S):
+            order.extend(
+                range(self._seg_row0[s] + self._seg_ncols[s], self._seg_row0[s] + self._seg_rows[s])
+            )
+        self._row_order = jnp.asarray(np.asarray(order, dtype=np.int64))
+        self._row_order_inv = jnp.asarray(np.argsort(np.asarray(order)))
+
+    def _apply_left_qt(self, v):
+        """blockdiag(Q_sᵀ) v, reordered so R-space rows come first."""
+        self._gather_maps()
+        vec = v.ndim == 1
+        v2 = v[:, None] if vec else v
+        k = v2.shape[1]
+        vs = jnp.where(
+            self._seg_valid[..., None], v2[self._seg_gather], jnp.zeros((), v2.dtype)
+        )  # [S, R, k]
+        out = _segment_apply(self._Yws, self._Ts, self._starts, vs, True, False)
+        flat = out.reshape(self.S * self._max_seg_rows, k)
+        # un-pad back to global ordering, then reorder R-rows-first
+        scatter = jnp.zeros((self._nrows, k), v2.dtype)
+        scatter = scatter.at[self._seg_gather.reshape(-1)].set(
+            jnp.where(self._seg_valid.reshape(-1)[:, None], flat, jnp.zeros((), v2.dtype))
+        )
+        res = scatter[self._row_order]
+        return res[:, 0] if vec else res
+
+    def _apply_left_q(self, v):
+        self._gather_maps()
+        vec = v.ndim == 1
+        v2 = v[:, None] if vec else v
+        k = v2.shape[1]
+        nat = v2[self._row_order_inv]
+        vs = jnp.where(
+            self._seg_valid[..., None], nat[self._seg_gather], jnp.zeros((), v2.dtype)
+        )
+        out = _segment_apply(self._Yws, self._Ts, self._starts, vs, False, False)
+        flat = out.reshape(self.S * self._max_seg_rows, k)
+        scatter = jnp.zeros((self._nrows, k), v2.dtype)
+        scatter = scatter.at[self._seg_gather.reshape(-1)].set(
+            jnp.where(self._seg_valid.reshape(-1)[:, None], flat, jnp.zeros((), v2.dtype))
+        )
+        return scatter[:, 0] if vec else scatter
+
+    # --- QRSolver interface -----------------------------------------------------
+    def apply_qt(self, m: jnp.ndarray) -> jnp.ndarray:
+        vec = m.ndim == 1
+        m2 = m[:, None] if vec else m
+        top = self._apply_left_qt(m2)
+        bottom = apply_wy(self._Y2, self._T2, top[self._m1 :], transpose=True)
+        out = jnp.concatenate([top[: self._m1], bottom], axis=0)
+        return out[:, 0] if vec else out
+
+    def apply_q(self, m: jnp.ndarray) -> jnp.ndarray:
+        vec = m.ndim == 1
+        m2 = m[:, None] if vec else m
+        bottom = apply_wy(self._Y2, self._T2, m2[self._m1 :])
+        full = jnp.concatenate([m2[: self._m1], bottom], axis=0)
+        out = self._apply_left_q(full)
+        return out[:, 0] if vec else out
+
+    def solve_r(self, y: jnp.ndarray) -> jnp.ndarray:
+        """Two-phase back-substitution: boundary columns, then vmapped interior."""
+        m1, m2 = self._m1, self._m2
+        x2 = jax.lax.linalg.triangular_solve(
+            self._R2, y[m1 : m1 + m2, None], left_side=True, lower=False
+        )[:, 0]
+        rhs1 = y[:m1] - self._j2_top @ x2
+        # vmapped per-segment banded back-substitution
+        S, L = self.S, self.L
+        nloc_max = max(self._seg_ncols)
+        dt = rhs1.dtype
+        mc = self._max_cols
+        if not hasattr(self, "_col_gather"):
+            cg = np.zeros((S, nloc_max + mc), dtype=np.int64)
+            cv = np.zeros((S, nloc_max + mc), dtype=bool)
+            for s in range(S):
+                n = self._seg_ncols[s]
+                cg[s, :n] = self._seg_col0[s] + np.arange(n)
+                cv[s, :n] = True
+            self._col_gather = jnp.asarray(cg)
+            self._col_valid = jnp.asarray(cv)
+        ypad = jnp.where(self._col_valid, rhs1[self._col_gather], jnp.zeros((), dt))
+        xpad0 = jnp.zeros_like(ypad)
+
+        def one(xp, yp, rp, cols, er, nc, act):
+            return _banded_solve_chunk(
+                xp, yp, rp, cols, er, nc, act,
+                max_emit=self._max_emit, max_cols=mc,
+            )
+
+        xs = jax.vmap(one)(
+            xpad0,
+            ypad,
+            self._r_panels,
+            self._starts,
+            jnp.asarray(self._emit, dtype=jnp.int32),
+            jnp.asarray(self._loc_geom["ncols"], dtype=jnp.int32),
+            jnp.asarray(self._active),
+        )
+        idx = jnp.where(self._col_valid, self._col_gather, m1)
+        x1 = jnp.zeros((m1,), dt).at[idx].set(xs, mode="drop")
+        return jnp.concatenate([x1, x2])
+
+    def matrix_r_dense(self) -> jnp.ndarray:
+        """Dense R in the P_split column order (tests)."""
+        n = self.cols
+        R = np.zeros((self._nrows, n), dtype=np.asarray(self._R2).dtype)
+        rp = np.asarray(self._r_panels)
+        for s in range(self.S):
+            base = int(self._seg_col0[s])
+            for j in range(self.L):
+                if not self._active[s, j]:
+                    continue
+                er = int(self._emit[s, j])
+                nc = int(self._loc_geom["ncols"][s, j])
+                c0 = base + int(self._loc_geom["cols"][s, j])
+                R[c0 : c0 + er, c0 : c0 + nc] = rp[s, j, :er, :nc]
+        R[: self._m1, self._m1 :] = np.asarray(self._j2_top)
+        R[self._m1 : self._m1 + self._m2, self._m1 :] = np.asarray(self._R2)
+        return jnp.asarray(R)
+
+    def cols_permutation(self) -> Permutation:
+        return self._cols_perm
+
+    def rows_permutation(self) -> Permutation:
+        return self._row_perm

@@ -1,0 +1,52 @@
+"""Segmented banded QR vs. the plain banded solver (same contract)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qrkit_tpu.solvers import BandedBlockedQR, SegmentedBandedQR
+
+from generators import overlapping_block_diagonal_matrix
+
+NUM_VARS = 96
+NUM_PARAMS = NUM_VARS * 2
+NUM_RESIDUALS = NUM_VARS * 7
+
+
+def test_segmented_matches_contract(rng):
+    spj = overlapping_block_diagonal_matrix(NUM_PARAMS, NUM_RESIDUALS, rng, False)
+    qr = SegmentedBandedQR(suggested_block_cols=2, segment_blocks=8).compute(spj)
+    dense = spj.to_dense()
+    pA = qr.rows_permutation().apply(dense)
+    pAP = pA[:, qr.cols_permutation().indices]
+    # Qt (P_r A P_c) == R
+    R = np.asarray(qr.matrix_r_dense())
+    QtAP = np.asarray(qr.apply_qt(jnp.asarray(pAP)))
+    assert np.allclose(QtAP, R, atol=1e-8), np.abs(QtAP - R).max()
+    assert np.allclose(np.tril(R, -1), 0.0, atol=1e-10)
+    # orthogonality
+    v = rng.normal(size=spj.nrows)
+    vv = np.asarray(qr.apply_q(qr.apply_qt(jnp.asarray(v))))
+    assert np.allclose(vv, v, atol=1e-9)
+    # LS round trip
+    x_true = rng.normal(size=spj.ncols)
+    b = qr.rows_permutation().apply(dense @ x_true)
+    x = np.asarray(qr.solve(jnp.asarray(b)))
+    assert np.allclose(x, x_true, atol=1e-7), np.abs(x - x_true).max()
+
+
+def test_segmented_matches_plain_solution(rng):
+    spj = overlapping_block_diagonal_matrix(NUM_PARAMS, NUM_RESIDUALS, rng, False)
+    dense = spj.to_dense()
+    x_true = rng.normal(size=spj.ncols)
+    b = dense @ x_true
+    seg = SegmentedBandedQR(suggested_block_cols=2, segment_blocks=16).compute(spj)
+    plain = BandedBlockedQR(suggested_block_cols=2).compute(spj)
+    xs = np.asarray(seg.solve(jnp.asarray(seg.rows_permutation().apply(b))))
+    xp = np.asarray(plain.solve(jnp.asarray(plain.rows_permutation().apply(b))))
+    assert np.allclose(xs, xp, atol=1e-9)
+
+
+def test_segmented_rejects_short_chain(rng):
+    spj = overlapping_block_diagonal_matrix(16, 56, rng, False)
+    with pytest.raises(ValueError):
+        SegmentedBandedQR(suggested_block_cols=2, segment_blocks=32).compute(spj)
