@@ -244,14 +244,23 @@ class SegmentedBandedQR(QRSolver):
             max_cols = max(max_cols, int(gs["ncols"].max()))
         self._emit = emit
 
-        # dense panels (rows local to segment, cols local to block)
-        panels = np.zeros((S, L, mR, max_cols), dtype=np.float64)
+        # dense panels (rows local to segment, cols local to block) — one
+        # native extraction call over all S*L blocks
+        block_list = []
         for s_i in range(S):
             colbase = int(cols_[seg_first[s_i]]) + (o if s_i > 0 else 0)
-            for j, b in enumerate(seg_plans[s_i].blocks):
-                panels[s_i, j, : b.nrows, : b.ncols] = pmat.block_dense(
-                    seg_row0[s_i] + b.row, colbase + b.col, b.nrows, b.ncols
-                )
+            blocks_s = list(seg_plans[s_i].blocks)
+            for j in range(L):
+                if j < len(blocks_s):
+                    b = blocks_s[j]
+                    block_list.append(
+                        (seg_row0[s_i] + b.row, colbase + b.col, b.nrows, b.ncols)
+                    )
+                else:
+                    block_list.append((0, 0, 0, 0))
+        panels = pmat.blocks_dense(block_list, mR, max_cols).reshape(
+            S, L, mR, max_cols
+        )
 
         # boundary block A_B (dense [m, m2])
         if self._m2:
@@ -332,7 +341,9 @@ class SegmentedBandedQR(QRSolver):
             return
         S = self.S
         R = self._max_seg_rows
-        gather = np.zeros((S, R), dtype=np.int64)
+        # padded lanes point OUT of bounds so scatters drop them (an in-bounds
+        # sentinel would clobber a real row)
+        gather = np.full((S, R), self._nrows, dtype=np.int64)
         valid = np.zeros((S, R), dtype=bool)
         for s in range(S):
             n = self._seg_rows[s]
@@ -358,15 +369,15 @@ class SegmentedBandedQR(QRSolver):
         v2 = v[:, None] if vec else v
         k = v2.shape[1]
         vs = jnp.where(
-            self._seg_valid[..., None], v2[self._seg_gather], jnp.zeros((), v2.dtype)
+            self._seg_valid[..., None],
+            v2[jnp.clip(self._seg_gather, 0, self._nrows - 1)],
+            jnp.zeros((), v2.dtype),
         )  # [S, R, k]
         out = _segment_apply(self._Yws, self._Ts, self._starts, vs, True, False)
         flat = out.reshape(self.S * self._max_seg_rows, k)
         # un-pad back to global ordering, then reorder R-rows-first
         scatter = jnp.zeros((self._nrows, k), v2.dtype)
-        scatter = scatter.at[self._seg_gather.reshape(-1)].set(
-            jnp.where(self._seg_valid.reshape(-1)[:, None], flat, jnp.zeros((), v2.dtype))
-        )
+        scatter = scatter.at[self._seg_gather.reshape(-1)].set(flat, mode="drop")
         res = scatter[self._row_order]
         return res[:, 0] if vec else res
 
@@ -377,14 +388,14 @@ class SegmentedBandedQR(QRSolver):
         k = v2.shape[1]
         nat = v2[self._row_order_inv]
         vs = jnp.where(
-            self._seg_valid[..., None], nat[self._seg_gather], jnp.zeros((), v2.dtype)
+            self._seg_valid[..., None],
+            nat[jnp.clip(self._seg_gather, 0, self._nrows - 1)],
+            jnp.zeros((), v2.dtype),
         )
         out = _segment_apply(self._Yws, self._Ts, self._starts, vs, False, False)
         flat = out.reshape(self.S * self._max_seg_rows, k)
         scatter = jnp.zeros((self._nrows, k), v2.dtype)
-        scatter = scatter.at[self._seg_gather.reshape(-1)].set(
-            jnp.where(self._seg_valid.reshape(-1)[:, None], flat, jnp.zeros((), v2.dtype))
-        )
+        scatter = scatter.at[self._seg_gather.reshape(-1)].set(flat, mode="drop")
         return scatter[:, 0] if vec else scatter
 
     # --- QRSolver interface -----------------------------------------------------
