@@ -40,6 +40,7 @@ from .solvers import (
     DenseHouseholderQR,
     QFormat,
     QRSolver,
+    SegmentedBandedQR,
 )
 from .lm import LMConfig, LMResult, levenberg_marquardt
 from .persist import load_analysis, plan_from_json, plan_to_json, save_analysis
@@ -69,6 +70,7 @@ __all__ = [
     "DenseHouseholderQR",
     "QFormat",
     "QRSolver",
+    "SegmentedBandedQR",
     "LMConfig",
     "LMResult",
     "levenberg_marquardt",

@@ -324,7 +324,9 @@ class SegmentedBandedQR(QRSolver):
         j2 = self._apply_left_qt(ab)
         self._j2_top = j2[: self._m1]
         j2_bot = j2[self._m1 :]
-        self._Y2, self._T2, R2 = panel_qr_yt(j2_bot)
+        from .dense import _dense_qr
+
+        self._Y2, self._T2, R2 = _dense_qr(j2_bot)
         self._R2 = jnp.triu(R2)[: self._m2]
 
         # column permutation: P_split (interior-first) — A · P = Q · R
