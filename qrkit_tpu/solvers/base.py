@@ -104,6 +104,21 @@ class QRSolver(abc.ABC):
         gather = jnp.asarray(perm.gather_indices())
         return z[gather]
 
+    # --- diagnostics ----------------------------------------------------------------
+    def validate(self, rtol: float = 0.0) -> ComputationInfo:
+        """Numerical-health check on the factorization (the reference's
+        ``info() == NumericalIssue`` path, set only implicitly there).
+
+        Flags NUMERICAL_ISSUE when R's leading diagonal contains non-finite
+        values or entries below ``rtol * max|diag|`` (rank collapse a
+        non-rank-revealing solver would silently propagate).  Updates and
+        returns :meth:`info`.
+        """
+        d = np.abs(np.diag(np.asarray(self.matrix_r_dense())[: self.cols, : self.cols]))
+        if d.size and (not np.all(np.isfinite(d)) or (d.min() <= rtol * d.max())):
+            self._info = ComputationInfo.NUMERICAL_ISSUE
+        return self._info
+
     # --- parity helpers -------------------------------------------------------------
     def matrix_q_dense(self) -> jnp.ndarray:
         """Explicit dense Q (tests only) = apply_q(I)."""

@@ -105,3 +105,19 @@ def test_matrix_rhs(spj, rng):
     Q = np.asarray(qr.matrix_q_dense())
     assert np.allclose(np.asarray(qr.apply_qt(jnp.asarray(M))), Q.T @ M, atol=1e-9)
     assert np.allclose(np.asarray(qr.apply_q(jnp.asarray(M))), Q @ M, atol=1e-9)
+
+
+def test_validate_numerical_issue(rng):
+    from qrkit_tpu.solvers import ComputationInfo
+
+    blocks = rng.normal(size=(4, 7, 2))
+    blocks[2, :, 1] = 0.0  # singular block -> zero diagonal in R
+    blk = BlockDiagonal.from_dense_batch(blocks)
+    qr = BlockDiagonalQR(QFormat.FULL_Q, pivot=False).compute(blk)
+    assert qr.info() == ComputationInfo.SUCCESS
+    assert qr.validate() == ComputationInfo.NUMERICAL_ISSUE
+
+    blocks2 = rng.normal(size=(4, 7, 2))
+    blk2 = BlockDiagonal.from_dense_batch(blocks2)
+    qr2 = BlockDiagonalQR(QFormat.FULL_Q, pivot=False).compute(blk2)
+    assert qr2.validate() == ComputationInfo.SUCCESS
