@@ -167,6 +167,35 @@ class EllipseFitting:
         solver.compute(BlockMatrix1x2(blk, right_d))
         return solver.solve(rhs)
 
+    def damped_step_banded(
+        self, params: jnp.ndarray, res: jnp.ndarray, lam: float
+    ) -> jnp.ndarray:
+        """The reference's second solver stack: banded-blocked left solver
+        composed with dense ColPiv right (SparseBlockBandedQR_EllipseFitting,
+        examples/ellipse_fitting.cpp:149-180).  Host-side sparse construction
+        per call — demonstration/parity path, not the production loop."""
+        from ..solvers import BandedBlockedQR
+        from ..sparse import SparseCSR
+
+        left, right = _jacobian_blocks(params, self.pts)
+        left_d, right_d, rhs = _damped_system(
+            left, right, res, jnp.asarray(lam, self.dtype)
+        )
+        n = self.n
+        left_np = np.asarray(left_d)  # [N, 3, 1]
+        rows = np.arange(3 * n)
+        cols = np.repeat(np.arange(n), 3)
+        left_sp = SparseCSR.from_triplets(
+            rows, cols, left_np.reshape(-1), (3 * n + 5, n)
+        )
+        solver = BlockAngularQR(
+            BandedBlockedQR(block_rows=3, block_cols=1, block_overlap=0,
+                            suggested_block_cols=1),
+            DenseColPivQR(),
+        )
+        solver.compute(BlockMatrix1x2(left_sp, right_d))
+        return solver.solve(rhs)
+
     def initial_params(self) -> jnp.ndarray:
         """ellipse_fitting.cpp:208-232: bounding-box init + uniform t spread."""
         pts = np.asarray(self.pts)

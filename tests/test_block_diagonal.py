@@ -121,3 +121,17 @@ def test_validate_numerical_issue(rng):
     blk2 = BlockDiagonal.from_dense_batch(blocks2)
     qr2 = BlockDiagonalQR(QFormat.FULL_Q, pivot=False).compute(blk2)
     assert qr2.validate() == ComputationInfo.SUCCESS
+
+
+def test_from_sparse_matrix_detection(rng):
+    # SparseBlockDiagonal::fromSparseMatrix analog: detect blocks in a
+    # row-shuffled matrix, factorize with the returned row permutation
+    spj = block_diagonal_matrix(64, 224, rng, permute_rows=True)
+    blk, perm = BlockDiagonal.from_sparse_matrix(spj, suggested_block_cols=2)
+    assert blk.num_blocks == 32
+    qr = BlockDiagonalQR(QFormat.FULL_Q).compute(blk, row_perm=perm)
+    dense = spj.to_dense()
+    x_true = rng.normal(size=spj.ncols)
+    b = qr.rows_permutation().apply(dense @ x_true)
+    x = np.asarray(qr.solve(jnp.asarray(b)))
+    assert np.allclose(x, x_true, atol=1e-8)

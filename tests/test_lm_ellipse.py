@@ -46,3 +46,18 @@ def test_damped_step_decreases_cost():
     r1 = functor.residuals(x0 + delta)
     c1 = float(0.5 * np.vdot(r1, r1))
     assert c1 < c0
+
+
+def test_banded_left_variant_matches():
+    # reference's second stack (banded left solver): one damped step must match
+    # the fused block-diagonal path
+    import jax.numpy as jnp
+
+    el = Ellipse()
+    pts = ellipse_points(el, 80)
+    functor = EllipseFitting(pts)
+    x0 = functor.initial_params()
+    r0 = functor.residuals(x0)
+    d1 = np.asarray(functor.damped_step(x0, r0, 1e-3))
+    d2 = np.asarray(functor.damped_step_banded(x0, r0, 1e-3))
+    assert np.allclose(d1, d2, atol=1e-8), np.abs(d1 - d2).max()
