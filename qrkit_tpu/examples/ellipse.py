@@ -19,7 +19,6 @@ reference loops per point on the CPU, ellipse_fitting.cpp:73-109).
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Optional, Tuple
 
 import jax

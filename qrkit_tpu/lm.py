@@ -20,7 +20,6 @@ import dataclasses
 from typing import Callable, NamedTuple, Optional
 
 import jax.numpy as jnp
-import numpy as np
 
 __all__ = ["LMConfig", "LMResult", "levenberg_marquardt", "levenberg_marquardt_device"]
 

@@ -19,7 +19,7 @@ Conventions (identical to the reference so factors are interchangeable):
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,6 @@ kernel" tier of the framework (the reference's native tier is C++/Eigen).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

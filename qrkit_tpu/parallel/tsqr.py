@@ -16,11 +16,9 @@ reshapes.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..ops.householder import apply_wy, panel_qr_yt
 from ..sparse import SparseCSR

@@ -10,7 +10,7 @@ hits the jit cache — exactly the reference's analyzePattern/factorize split.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

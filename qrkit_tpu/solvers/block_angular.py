@@ -18,9 +18,6 @@ composite R is ever built on the solve path.
 """
 from __future__ import annotations
 
-from typing import Optional, Union
-
-import jax
 import jax.numpy as jnp
 import numpy as np
 

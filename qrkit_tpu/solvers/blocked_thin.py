@@ -17,7 +17,7 @@ into the output column permutation (:150-159).
 from __future__ import annotations
 
 import functools
-from typing import List, Optional, Union
+from typing import List, Union
 
 import jax
 import jax.numpy as jnp

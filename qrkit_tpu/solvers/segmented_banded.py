@@ -39,8 +39,7 @@ import numpy as np
 
 from ..analysis import as_banded_as_possible, block_banded_info, from_block_banded_pattern
 from ..ops.compact_wy import CompactWYSeq
-from ..ops.householder import apply_wy, highest_precision, panel_qr_yt
-from ..plan import StructurePlan
+from ..ops.householder import apply_wy, highest_precision
 from ..sparse import Permutation, SparseCSR
 from .banded_blocked import _banded_factorize_chunk, _banded_solve_chunk, banded_geometry
 from .base import ComputationInfo, QRSolver

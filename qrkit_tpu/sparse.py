@@ -15,7 +15,7 @@ SparseQROrdering.h).  Conventions follow Eigen:
 from __future__ import annotations
 
 import dataclasses
-from typing import Iterable, Tuple
+from typing import Tuple
 
 import numpy as np
 
