@@ -21,7 +21,24 @@ from typing import Callable, NamedTuple, Optional
 
 import jax.numpy as jnp
 
-__all__ = ["LMConfig", "LMResult", "levenberg_marquardt", "levenberg_marquardt_device"]
+__all__ = [
+    "LMConfig",
+    "LMResult",
+    "predicted_reduction",
+    "levenberg_marquardt",
+    "levenberg_marquardt_device",
+]
+
+
+def predicted_reduction(delta, g, lam):
+    """Madsen–Nielsen predicted cost reduction of the damped LM step:
+    ``0.5 δᵀ(λδ − g)`` with gradient ``g = Jᵀr``.  For the exact damped
+    minimizer this equals the Gauss–Newton model reduction
+    ``0.5(‖r‖² − ‖r + Jδ‖²)``, so the gain ratio is exactly 1 on a problem
+    with linear residuals."""
+    return 0.5 * (
+        lam * jnp.vdot(delta, delta).real - jnp.vdot(delta, g).real
+    )
 
 
 @dataclasses.dataclass
@@ -55,6 +72,8 @@ def levenberg_marquardt(
     ``||J(x) δ + r||² + lam ||δ||²`` — typically by a structured QR of the
     damped Jacobian (see qrkit_tpu.examples.ellipse for the canonical setup).
     """
+    import jax
+
     cfg = config or LMConfig()
     x = jnp.asarray(x0)
     r = residual_fn(x)
@@ -68,10 +87,11 @@ def levenberg_marquardt(
         x_new = x + delta
         r_new = residual_fn(x_new)
         cost_new = float(0.5 * jnp.vdot(r_new, r_new).real)
-        # gain ratio: actual reduction vs predicted reduction of the damped model
-        # pred = 0.5 δᵀ(λ δ - Jᵀ r); use λ||δ||² - δᵀ g with g ≈ from step eqn
-        dn = float(jnp.vdot(delta, delta).real)
-        predicted = max(0.5 * lam * dn + 1e-300, 1e-300)
+        # Madsen–Nielsen gain ratio: predicted = 0.5 δᵀ(λδ − g), g = Jᵀr
+        # (for the exact damped minimizer this equals the Gauss–Newton model
+        # reduction; g comes from one VJP of the residual function).
+        g = jax.vjp(residual_fn, x)[1](r)[0]
+        predicted = max(float(predicted_reduction(delta, g, lam)), 1e-300)
         rho = (cost - cost_new) / predicted
 
         if cost_new < cost:
@@ -127,8 +147,13 @@ def _build_device_minimize(residual_fn, damped_step_fn, cfg_tuple):
             cost_new = 0.5 * jnp.vdot(r_new, r_new).real.astype(dt)
             accept = cost_new < cost
 
+            # Madsen–Nielsen predicted reduction 0.5 δᵀ(λδ − g), g = Jᵀr via VJP
+            g = jax.vjp(lambda xx: residual_fn(xx, aux), x)[1](r)[0]
             dn = jnp.vdot(delta, delta).real.astype(dt)
-            predicted = jnp.maximum(0.5 * lam * dn, jnp.asarray(1e-30, dt))
+            predicted = jnp.maximum(
+                predicted_reduction(delta, g, lam).astype(dt),
+                jnp.asarray(1e-30, dt),
+            )
             rho = (cost - cost_new) / predicted
             shrink = jnp.maximum(
                 jnp.asarray(1.0 / 3.0, dt), 1.0 - (2.0 * rho - 1.0) ** 3
