@@ -399,8 +399,22 @@ class BandedBlockedQR(QRSolver):
             max_emit=self._max_emit,
             m=self._nrows,
         )
-        self._info = ComputationInfo.SUCCESS
+        self._set_success()
         return self
+
+    def r_diagonal(self) -> jnp.ndarray:
+        """diag(R) scattered from the per-block R panels (emit rows partition
+        the columns disjointly — plan.solved_rows geometry)."""
+        g = self.geom
+        d = jnp.diagonal(self.r_panels, axis1=1, axis2=2)  # [nb, k]
+        k = d.shape[1]
+        j = jnp.arange(k)
+        pos = jnp.asarray(g["cols"])[:, None] + j[None, :]
+        valid = j[None, :] < jnp.asarray(g["emit_rows"])[:, None]
+        idx = jnp.where(valid, pos, self._ncols)  # OOB lanes dropped
+        return (
+            jnp.zeros((self._ncols,), d.dtype).at[idx].set(d, mode="drop")
+        )
 
     # --- Q / R ----------------------------------------------------------------------
     def apply_q(self, m: jnp.ndarray) -> jnp.ndarray:

@@ -17,6 +17,7 @@ import abc
 import enum
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -32,6 +33,14 @@ class ComputationInfo(enum.Enum):
     NOT_COMPUTED = 3
 
 
+@jax.jit
+def _diag_health(d: jnp.ndarray) -> jnp.ndarray:
+    """One device scalar: R's leading diagonal is finite and nonzero."""
+    return jnp.logical_and(
+        jnp.all(jnp.isfinite(d)), jnp.min(jnp.abs(d), initial=jnp.inf) > 0
+    )
+
+
 class QRSolver(abc.ABC):
     """Abstract QR solver: A (row-permuted, col-permuted) = Q R.
 
@@ -44,6 +53,7 @@ class QRSolver(abc.ABC):
     """
 
     _info: ComputationInfo = ComputationInfo.NOT_COMPUTED
+    _health = None  # device scalar from _set_success, fetched lazily by info()
 
     # --- shape ----------------------------------------------------------------------
     @property
@@ -59,7 +69,22 @@ class QRSolver(abc.ABC):
         return self.cols
 
     def info(self) -> ComputationInfo:
+        """Factorization status.  The reference's contract is that ``info()``
+        reports numerical problems from factorize (BandedBlockedSparseQR.h:335);
+        here a one-scalar device-side health check is launched asynchronously at
+        the end of ``compute`` and fetched on the first ``info()`` call — the
+        factorize path itself never blocks on the device."""
+        if self._health is not None:
+            healthy = bool(self._health)
+            self._health = None
+            if not healthy and self._info == ComputationInfo.SUCCESS:
+                self._info = ComputationInfo.NUMERICAL_ISSUE
         return self._info
+
+    def _set_success(self):
+        """End-of-compute hook: mark SUCCESS and launch the async health check."""
+        self._info = ComputationInfo.SUCCESS
+        self._health = _diag_health(self.r_diagonal())
 
     # --- factorization --------------------------------------------------------------
     @abc.abstractmethod
@@ -104,6 +129,12 @@ class QRSolver(abc.ABC):
         gather = jnp.asarray(perm.gather_indices())
         return z[gather]
 
+    def r_diagonal(self) -> jnp.ndarray:
+        """Leading diagonal of R as a device array [cols] — structured solvers
+        override this so no dense R is ever formed (the default suits solvers
+        that already hold R as one dense device array)."""
+        return jnp.diagonal(self.matrix_r_dense()[: self.cols, : self.cols])
+
     # --- diagnostics ----------------------------------------------------------------
     def validate(self, rtol: float = 0.0) -> ComputationInfo:
         """Numerical-health check on the factorization (the reference's
@@ -111,12 +142,18 @@ class QRSolver(abc.ABC):
 
         Flags NUMERICAL_ISSUE when R's leading diagonal contains non-finite
         values or entries below ``rtol * max|diag|`` (rank collapse a
-        non-rank-revealing solver would silently propagate).  Updates and
+        non-rank-revealing solver would silently propagate).  Fully device-side
+        via :meth:`r_diagonal` — usable at 500k-block scale.  Updates and
         returns :meth:`info`.
         """
-        d = np.abs(np.diag(np.asarray(self.matrix_r_dense())[: self.cols, : self.cols]))
-        if d.size and (not np.all(np.isfinite(d)) or (d.min() <= rtol * d.max())):
-            self._info = ComputationInfo.NUMERICAL_ISSUE
+        d = jnp.abs(self.r_diagonal())
+        if d.size:
+            bad = jnp.logical_or(
+                jnp.logical_not(jnp.all(jnp.isfinite(d))),
+                jnp.min(d) <= rtol * jnp.max(d),
+            )
+            if bool(bad):
+                self._info = ComputationInfo.NUMERICAL_ISSUE
         return self._info
 
     # --- parity helpers -------------------------------------------------------------

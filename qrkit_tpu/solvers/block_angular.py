@@ -95,8 +95,17 @@ class BlockAngularQR(QRSolver):
         rp[: self.left.rows] = self.left.rows_permutation().indices
         self._rows_perm = Permutation(rp)
 
-        self._info = ComputationInfo.SUCCESS
+        self._set_success()
         return self
+
+    def r_diagonal(self) -> jnp.ndarray:
+        """diag(R) of the composite = [diag(R1) | diag(R2)]."""
+        return jnp.concatenate(
+            [
+                self.left.r_diagonal()[: self._m1],
+                self.right.r_diagonal()[: self._m2],
+            ]
+        )
 
     # --- implicit Q (BlockAngularSparseQR.h:532-649) --------------------------------
     def apply_qt(self, m: jnp.ndarray) -> jnp.ndarray:

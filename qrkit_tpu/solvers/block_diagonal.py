@@ -111,9 +111,19 @@ class BlockDiagonalQR(QRSolver):
         base = np.arange(self._nb)[:, None] * self._bc
         self._cols_perm = Permutation((base + lp).reshape(-1))
 
-        self._info = ComputationInfo.SUCCESS
         self._computed = True
+        self._set_success()
         return self
+
+    def r_diagonal(self) -> jnp.ndarray:
+        """diag(R) straight from the [nb, bc, bc] batch — no dense R.  Columns
+        past nb*bc (zero tail) report 0: they are genuinely rank-deficient."""
+        d = jnp.diagonal(self.R, axis1=1, axis2=2).reshape(-1)
+        if self._ncols > d.shape[0]:
+            d = jnp.concatenate(
+                [d, jnp.zeros((self._ncols - d.shape[0],), d.dtype)]
+            )
+        return d[: self._ncols]
 
     # --- Q application ----------------------------------------------------------
     def _index_maps(self, dtype=jnp.int32):

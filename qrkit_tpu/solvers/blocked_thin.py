@@ -89,7 +89,7 @@ class BlockedThinDenseQR(QRSolver):
         # windows span full height (Y has zeros above the panel diagonal)
         self.q_seq = CompactWYSeq(Y, T, jnp.asarray(starts), self._m)
         self._R = R
-        self._info = ComputationInfo.SUCCESS
+        self._set_success()
         return self
 
     def apply_q(self, m: jnp.ndarray) -> jnp.ndarray:
@@ -202,7 +202,7 @@ class BlockedThinSparseQR(QRSolver):
         # (m_outputPerm_c * m_houseColPerm, BlockedThinSparseQR.h:159)
         sigma1 = self._col_perm.indices
         self._out_col_perm = Permutation(sigma1[house])
-        self._info = ComputationInfo.SUCCESS
+        self._set_success()
         return self
 
     def apply_q(self, m: jnp.ndarray) -> jnp.ndarray:

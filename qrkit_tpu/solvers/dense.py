@@ -74,7 +74,7 @@ class DenseHouseholderQR(_DenseQRBase):
         self._m, self._n = map(int, a.shape)
         self._Y, self._T, R = _dense_qr(a)
         self._R = jnp.triu(R)
-        self._info = ComputationInfo.SUCCESS
+        self._set_success()
         return self
 
 
@@ -87,7 +87,7 @@ class DenseColPivQR(_DenseQRBase):
         self._Y, self._T, R, perm = _dense_colpiv_qr(a)
         self._R = jnp.triu(R)
         self._perm = Permutation(np.asarray(perm, dtype=np.int64))
-        self._info = ComputationInfo.SUCCESS
+        self._set_success()
         return self
 
     def cols_permutation(self) -> Permutation:

@@ -332,8 +332,29 @@ class SegmentedBandedQR(QRSolver):
         self._cols_perm = Permutation(
             np.concatenate([self._icols_idx, self._bcols_idx])
         )
-        self._info = ComputationInfo.SUCCESS
+        self._set_success()
         return self
+
+    def r_diagonal(self) -> jnp.ndarray:
+        """diag(R) in P_split column order: interior panels then the boundary R2."""
+        d = jnp.diagonal(self._r_panels, axis1=2, axis2=3)  # [S, L, k]
+        k = d.shape[2]
+        j = jnp.arange(k)
+        pos = (
+            jnp.asarray(self._seg_col0)[:, None, None]
+            + self._starts[:, :, None]
+            + j[None, None, :]
+        )
+        valid = (j[None, None, :] < jnp.asarray(self._emit)[:, :, None]) & jnp.asarray(
+            self._active
+        )[:, :, None]
+        n = self.cols
+        idx = jnp.where(valid, pos, n)
+        out = jnp.zeros((n,), d.dtype).at[idx].set(d, mode="drop")
+        if self._m2:
+            d2 = jnp.diagonal(self._R2)[: self._m2]
+            out = out.at[self._m1 + jnp.arange(self._m2)].set(d2)
+        return out
 
     # --- left (segment) Q ------------------------------------------------------
     def _gather_maps(self):

@@ -114,13 +114,55 @@ def test_validate_numerical_issue(rng):
     blocks[2, :, 1] = 0.0  # singular block -> zero diagonal in R
     blk = BlockDiagonal.from_dense_batch(blocks)
     qr = BlockDiagonalQR(QFormat.FULL_Q, pivot=False).compute(blk)
-    assert qr.info() == ComputationInfo.SUCCESS
+    # automatic detection straight after compute — no validate() call needed
+    # (the reference's info() contract, BandedBlockedSparseQR.h:335)
+    assert qr.info() == ComputationInfo.NUMERICAL_ISSUE
     assert qr.validate() == ComputationInfo.NUMERICAL_ISSUE
 
     blocks2 = rng.normal(size=(4, 7, 2))
     blk2 = BlockDiagonal.from_dense_batch(blocks2)
     qr2 = BlockDiagonalQR(QFormat.FULL_Q, pivot=False).compute(blk2)
+    assert qr2.info() == ComputationInfo.SUCCESS
     assert qr2.validate() == ComputationInfo.SUCCESS
+
+
+def test_info_numerical_issue_all_solvers(rng):
+    """A singular input must flip info() to NUMERICAL_ISSUE after compute for
+    every solver family (device-side health check, no dense R anywhere)."""
+    from qrkit_tpu.solvers import (
+        BandedBlockedQR,
+        BlockedThinDenseQR,
+        ComputationInfo,
+        DenseHouseholderQR,
+    )
+    from qrkit_tpu.sparse import SparseCSR
+
+    # dense: a rank-deficient tall matrix (exactly zero column -> zero pivot;
+    # a merely *duplicated* column leaves a ~1e-16 pivot, which the exact-zero
+    # health check deliberately ignores — that's validate(rtol)'s job)
+    A = rng.normal(size=(10, 4))
+    A[:, 3] = 0.0
+    for solver in (DenseHouseholderQR(), BlockedThinDenseQR(2)):
+        solver.compute(jnp.asarray(A))
+        assert solver.info() == ComputationInfo.NUMERICAL_ISSUE, type(solver)
+        ok = solver.__class__() if not isinstance(solver, BlockedThinDenseQR) else BlockedThinDenseQR(2)
+        ok.compute(jnp.asarray(rng.normal(size=(10, 4))))
+        assert ok.info() == ComputationInfo.SUCCESS
+
+    # banded: zero out one block's columns
+    from tests.generators import overlapping_block_diagonal_matrix
+
+    spj = overlapping_block_diagonal_matrix(16, 56, rng, permute_rows=False)
+    bad = SparseCSR(
+        spj.shape,
+        spj.indptr,
+        spj.indices,
+        np.where((spj.indices >= 6) & (spj.indices < 8), 0.0, spj.data),
+    )  # explicit zeros: same pattern/plan, singular values
+    qr = BandedBlockedQR(suggested_block_cols=2).compute(bad)
+    assert qr.info() == ComputationInfo.NUMERICAL_ISSUE
+    qr_ok = BandedBlockedQR(suggested_block_cols=2).compute(spj)
+    assert qr_ok.info() == ComputationInfo.SUCCESS
 
 
 def test_from_sparse_matrix_detection(rng):
