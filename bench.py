@@ -3,15 +3,21 @@
 Times the flagship pipeline (BASELINE.json config 2): fused block-diagonal
 factorize + least-squares solve, 10,000 blocks of 7x2, fp32, on the available
 accelerator, via the lane-batched Pallas kernel (the fastest path; the XLA
-compact-WY path is within ~10%% at this size and 2x slower at 500k blocks).  Steady-state per-solve time is measured with a chained
-``lax.scan`` of 50 dependent solves (defeats async-dispatch undercounting) and
-a final host fetch.
+compact-WY path is within ~10%% at this size and 2x slower at 500k blocks).
+Steady-state per-solve time is measured with a chained ``lax.scan`` of 50
+dependent solves (defeats async-dispatch undercounting) and a final host fetch.
 
-``vs_baseline`` is the speedup over single-core Eigen SparseQR (COLAMD) on the
-*same* problem, measured locally with native/eigen_baseline.cpp (double
-precision — Eigen's natural mode; see bench_baseline.json for the measured
-points and provenance).  A fp32 relative-residual gate guards correctness;
-fp64 parity to 1e-6 is covered by tests/ on the CPU backend.
+``vs_baseline`` is the speedup over the REFERENCE QRKit's own
+BlockDiagonalSparseQR (ColPivHouseholderQR per block) on the *same* problem,
+measured on this machine with native/qrkit_reference_baseline.cpp (double
+precision — its natural mode; see bench_baseline.json).  ``vs_eigen_sparseqr``
+keeps the generic Eigen SparseQR(COLAMD) comparison (native/eigen_baseline.cpp)
+for continuity with the WACV'18 table.  A fp32 relative-residual gate guards
+correctness; fp64 parity to 1e-6 is covered by tests/ on the CPU backend.
+
+``path`` records which kernel produced the number ("pallas" or "xla"); a
+Pallas lowering regression is therefore visible in BENCH_r*.json instead of
+silently reporting a slower XLA number.
 """
 import functools
 import json
@@ -25,27 +31,43 @@ BR, BC = 7, 2
 ITERS = 50
 
 
-def _eigen_baseline_seconds(nb: int) -> float:
+def _baselines(nb: int):
+    """(reference QRKit seconds, generic Eigen SparseQR seconds) at nb blocks."""
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json")
     with open(path) as f:
         base = json.load(f)
-    if str(nb) in base.get("measured", {}):
-        return float(base["measured"][str(nb)])
-    if base.get("eigen_10k_seconds") and nb == 10000:
-        return float(base["eigen_10k_seconds"])
-    # conservative extrapolation from the largest measured point: the measured
-    # growth 1000→2000 blocks is ~x11.8 (super-quadratic); assume only
-    # quadratic growth beyond the last measured point (underestimates Eigen's
-    # true cost, so the reported speedup is a lower bound).
-    pts = sorted((int(k), v) for k, v in base["measured"].items())
-    n0, t0 = pts[-1]
-    return t0 * (nb / n0) ** 2
+
+    def lookup(table, power):
+        if str(nb) in table:
+            return float(table[str(nb)])
+        # conservative extrapolation from the largest measured point (the
+        # reference scales ~linearly in nb; Eigen SparseQR super-quadratically,
+        # so quadratic extrapolation underestimates it → speedup lower bound)
+        pts = sorted((int(k), v) for k, v in table.items())
+        n0, t0 = pts[-1]
+        return t0 * (nb / n0) ** power
+
+    ref_s = lookup(base["reference_qrkit_measured"]["measured"], 1)
+    eigen_s = lookup(base["measured"], 2)
+    return ref_s, eigen_s
+
+
+def _flops(nb: int, br: int, bc: int, iters: int = 1) -> float:
+    """Closed-form flop count per factorize+solve:
+    Householder QR of one br x bc panel = 2*br*bc^2 - (2/3)*bc^3, plus the
+    implicit Qᵀb (3 small GEMVs ≈ 4*br*bc + 2*bc^2) and the bc x bc
+    triangular solve (bc^2)."""
+    qr = 2.0 * br * bc * bc - (2.0 / 3.0) * bc**3
+    solve = 4.0 * br * bc + 3.0 * bc * bc
+    return nb * (qr + solve) * iters
 
 
 def main():
     import jax
     import jax.numpy as jnp
 
+    path_used = "pallas"
+    fallback_error = None
     try:
         from qrkit_tpu.ops.pallas_blockdiag import pallas_block_diagonal_lstsq
 
@@ -53,11 +75,14 @@ def main():
             return pallas_block_diagonal_lstsq(blocks, b)
 
         # smoke-test the kernel on this backend; fall back to the XLA path on
-        # any lowering failure so the bench always produces a number
+        # a lowering/compile failure so the bench still produces a number —
+        # but TAG the fallback so a Pallas regression is visible in the JSON.
         _solve(
             jnp.ones((8, BR, BC), jnp.float32), jnp.ones((8 * BR,), jnp.float32)
         ).block_until_ready()
-    except Exception:
+    except Exception as e:  # lowering/compile errors vary by backend version
+        path_used = "xla"
+        fallback_error = f"{type(e).__name__}: {e}"[:200]
         from qrkit_tpu.functional import block_diagonal_lstsq
 
         def _solve(blocks, b):
@@ -91,17 +116,20 @@ def main():
     np.asarray(chained(blocks, b, iters=ITERS))
     per_solve_s = (time.time() - t0) / ITERS
 
-    eigen_s = _eigen_baseline_seconds(NB)
-    print(
-        json.dumps(
-            {
-                "metric": f"blockdiag_{NB}x{BR}x{BC}_factorize_solve_walltime",
-                "value": round(per_solve_s * 1e3, 4),
-                "unit": "ms",
-                "vs_baseline": round(eigen_s / per_solve_s, 1),
-            }
-        )
-    )
+    ref_s, eigen_s = _baselines(NB)
+    out = {
+        "metric": f"blockdiag_{NB}x{BR}x{BC}_factorize_solve_walltime",
+        "value": round(per_solve_s * 1e3, 4),
+        "unit": "ms",
+        "vs_baseline": round(ref_s / per_solve_s, 2),
+        "baseline": "reference_qrkit_blockdiagonal_same_machine",
+        "vs_eigen_sparseqr": round(eigen_s / per_solve_s, 1),
+        "gflops": round(_flops(NB, BR, BC) / per_solve_s / 1e9, 3),
+        "path": path_used,
+    }
+    if fallback_error:
+        out["fallback_error"] = fallback_error
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
