@@ -110,7 +110,10 @@ def _merge_blocks(
             and curr_cols >= suggested_block_cols
         ):
             new_blocks.append(BlockInfo(first.row, first.col, curr_rows, curr_cols))
-        else:
+        elif new_blocks:
+            # fold the remainder into the last emitted block; if nothing was
+            # ever emitted, drop it (native qrkit_block_detect semantics —
+            # callers raise on an empty plan)
             last = new_blocks[-1]
             new_blocks[-1] = BlockInfo(
                 last.row,
@@ -125,8 +128,10 @@ def block_banded_info(mat: SparseCSR, suggested_block_cols: int = 2) -> Structur
     """Detect the block-banded structure of an (already row-sorted) matrix.
 
     Mirrors BlockBandedMatrixInfo::operator() (SparseQRUtils.h:186-253):
-    per-row bands are grouped by band-start column into candidate blocks (width =
-    max band width among the group's rows, height = group size), then merged.
+    *consecutive runs* of rows sharing a band-start column form candidate
+    blocks (width = max band width among the run's rows, height = run length),
+    then merged.  Run grouping — not grouping by start value — matches both
+    the reference and the native engine on unsorted input.
     """
     starts, ends = mat.row_ranges()
     ncols = mat.ncols
@@ -139,8 +144,6 @@ def block_banded_info(mat: SparseCSR, suggested_block_cols: int = 2) -> Structur
         blocks = tuple(BlockInfo(*map(int, b)) for b in blocks_arr)
         return StructurePlan(mat.nrows, mat.ncols, blocks, nnz_q)
 
-    # max band width / row count per distinct start column
-    valid = starts < ncols  # empty rows (start == ncols) form zero blocks: ignored
     widths = ends - starts + 1
 
     # maxColStep over consecutive rows (reference includes all rows)
@@ -152,25 +155,22 @@ def block_banded_info(mat: SparseCSR, suggested_block_cols: int = 2) -> Structur
         max_col_step = 0
 
     blocks: List[BlockInfo] = []
-    seen = {}
-    order: List[int] = []
-    first_row = {}
-    for row_idx in range(mat.nrows):
-        s = int(starts[row_idx])
-        if s >= ncols:
-            continue
-        if s not in seen:
-            seen[s] = [0, int(widths[row_idx])]
-            first_row[s] = row_idx
-            order.append(s)
-        seen[s][0] += 1
-        seen[s][1] = max(seen[s][1], int(widths[row_idx]))
-
     nnz_q = 0
-    for s in order:
-        h, w = seen[s]
-        blocks.append(BlockInfo(first_row[s], s, h, w))
-        nnz_q += h * h
+    i = 0
+    nrows = mat.nrows
+    while i < nrows:
+        s = int(starts[i])
+        if s >= ncols:  # empty row: skipped (out-of-band, SparseQRUtils.h)
+            i += 1
+            continue
+        j = i
+        w = 0
+        while j < nrows and int(starts[j]) == s:
+            w = max(w, int(widths[j]))
+            j += 1
+        blocks.append(BlockInfo(i, s, j - i, w))
+        nnz_q += (j - i) * (j - i)
+        i = j
 
     merged = _merge_blocks(blocks, max_col_step, suggested_block_cols)
     return StructurePlan(mat.nrows, mat.ncols, tuple(merged), nnz_q)

@@ -86,8 +86,22 @@ class BlockDiagonal:
         perm, has_perm = as_banded_as_possible(mat)
         sorted_mat = mat.permute_rows(perm) if has_perm else mat
         plan = block_banded_info(sorted_mat, suggested_block_cols)
+        if plan.num_blocks == 0:
+            raise ValueError("no block structure detected in the matrix")
         br = plan.max_block_rows
         bc = plan.max_block_cols
+        # The dense [nb, br, bc] batch assumes block i sits at (i*br, i*bc)
+        # with uniform shape; a non-uniform detected plan (e.g. mixed 7- and
+        # 9-row blocks) would silently misalign rows here.  The reference's
+        # SparseBlockDiagonal keeps per-block offsets and handles it — our
+        # banded solver is the right tool for those structures.
+        for i, b in enumerate(plan.blocks):
+            if (b.nrows, b.ncols, b.row, b.col) != (br, bc, i * br, i * bc):
+                raise ValueError(
+                    "detected plan is not a uniform block diagonal at "
+                    f"(i*{br}, i*{bc}) (block {i} at ({b.row}, {b.col}) is "
+                    f"{b.nrows}x{b.ncols}); use BandedBlockedQR instead"
+                )
         blocks = sorted_mat.blocks_dense([b.astuple() for b in plan.blocks], br, bc)
         return BlockDiagonal(jnp.asarray(blocks), mat.nrows, mat.ncols), perm
 

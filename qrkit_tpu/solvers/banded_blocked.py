@@ -363,6 +363,12 @@ class BandedBlockedQR(QRSolver):
             self._row_perm, has_perm = as_banded_as_possible(mat)
             sorted_mat = mat.permute_rows(self._row_perm) if has_perm else mat
             self.plan = block_banded_info(sorted_mat, self._suggested)
+        if self.plan.num_blocks == 0:
+            self._info = ComputationInfo.INVALID_INPUT
+            raise ValueError(
+                "pattern analysis found no blocks (matrix empty or no row is "
+                "portrait-mergeable); cannot factorize"
+            )
         self.geom = banded_geometry(self.plan)
         g = self.geom
         self._max_active = int(g["active"].max())

@@ -106,10 +106,15 @@ class BlockDiagonalQR(QRSolver):
 
         self.Q, self.R, local_perm = _factorize_blocks(mat.blocks, pivot=self.pivot)
 
-        # global column permutation from per-block pivots
+        # global column permutation from per-block pivots (identity on any
+        # zero tail columns past nb*bc)
         lp = np.asarray(local_perm)
         base = np.arange(self._nb)[:, None] * self._bc
-        self._cols_perm = Permutation((base + lp).reshape(-1))
+        self._cols_perm = Permutation(
+            np.concatenate(
+                [(base + lp).reshape(-1), np.arange(self._nb * self._bc, self._ncols)]
+            )
+        )
 
         self._computed = True
         self._set_success()
@@ -127,11 +132,15 @@ class BlockDiagonalQR(QRSolver):
 
     # --- Q application ----------------------------------------------------------
     def _index_maps(self, dtype=jnp.int32):
-        """(econ_rows, comp_rows) destination rows for FULL_Q coordinates."""
+        """(econ_rows, comp_rows) destination rows for FULL_Q coordinates.
+
+        Complement columns start right after the nb*bc economy columns (NOT at
+        ncols: when ncols > nb*bc the trailing zero columns of A contribute no
+        Q columns, and anchoring at ncols would clobber rows past nb*br)."""
         nb, br, bc = self._nb, self._br, self._bc
         econ = (np.arange(nb)[:, None] * bc + np.arange(bc)).reshape(-1)
         comp_w = br - bc
-        comp = (self._ncols + np.arange(nb)[:, None] * comp_w + np.arange(comp_w)).reshape(-1)
+        comp = (nb * bc + np.arange(nb)[:, None] * comp_w + np.arange(comp_w)).reshape(-1)
         return jnp.asarray(econ, dtype), jnp.asarray(comp, dtype)
 
     @highest_precision
@@ -189,7 +198,10 @@ class BlockDiagonalQR(QRSolver):
         xb = jax.lax.linalg.triangular_solve(
             self.R, yb, left_side=True, lower=False
         )
-        return xb.reshape(nb * bc)
+        x = xb.reshape(nb * bc)
+        if self._ncols > nb * bc:  # zero tail columns: basic solution x=0 there
+            x = jnp.concatenate([x, jnp.zeros((self._ncols - nb * bc,), x.dtype)])
+        return x
 
     def cols_permutation(self) -> Permutation:
         return self._cols_perm

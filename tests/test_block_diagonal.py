@@ -165,6 +165,47 @@ def test_info_numerical_issue_all_solvers(rng):
     assert qr_ok.info() == ComputationInfo.SUCCESS
 
 
+def test_zero_tail_columns(rng):
+    """ncols > nb*bc (zero tail columns): Q stays orthogonal, solve returns
+    the basic solution with zeros on the tail."""
+    nb, br, bc, tail = 4, 7, 2, 3
+    blocks = rng.normal(size=(nb, br, bc))
+    blk = BlockDiagonal(jnp.asarray(blocks), nb * br, nb * bc + tail)
+    qr = BlockDiagonalQR(QFormat.FULL_Q, pivot=False).compute(blk)
+    Q = np.asarray(qr.matrix_q_dense())
+    assert np.allclose(Q.T @ Q, np.eye(nb * br), atol=1e-9)
+    A = blk.to_dense()
+    x_true = rng.normal(size=nb * bc + tail)
+    x_true[nb * bc :] = 0.0  # tail columns are zero -> any value works; pick 0
+    b = A @ x_true
+    x = np.asarray(qr.solve(jnp.asarray(b)))
+    assert x.shape == (nb * bc + tail,)
+    assert np.allclose(x, x_true, atol=1e-9)
+    # R reconstruction through the permuted system
+    R = np.asarray(qr.matrix_r_dense())
+    P = np.asarray(qr.cols_permutation().indices)
+    assert np.allclose((Q @ R)[:, np.argsort(P)][:, : nb * bc], A[:, : nb * bc], atol=1e-9)
+
+
+def test_from_sparse_matrix_nonuniform_raises(rng):
+    """A valid block-diagonal matrix with non-uniform block heights must be
+    rejected (the dense batch would misalign rows) and routed to the banded
+    solver."""
+    # blocks: 7x2 at (0,0), 9x2 at (7,2) -> non-uniform heights
+    rows, cols, vals = [], [], []
+    for r in range(7):
+        for c in range(2):
+            rows.append(r); cols.append(c); vals.append(rng.uniform(0.5, 5.0))
+    for r in range(9):
+        for c in range(2):
+            rows.append(7 + r); cols.append(2 + c); vals.append(rng.uniform(0.5, 5.0))
+    sp = __import__("qrkit_tpu.sparse", fromlist=["SparseCSR"]).SparseCSR.from_triplets(
+        rows, cols, vals, (16, 4)
+    )
+    with pytest.raises(ValueError, match="BandedBlockedQR"):
+        BlockDiagonal.from_sparse_matrix(sp, suggested_block_cols=2)
+
+
 def test_from_sparse_matrix_detection(rng):
     # SparseBlockDiagonal::fromSparseMatrix analog: detect blocks in a
     # row-shuffled matrix, factorize with the returned row permutation

@@ -48,6 +48,17 @@ def test_block_detect_parity(mat, monkeypatch):
     assert plan1.nnz_q_estimate == plan2.nnz_q_estimate
 
 
+def test_block_detect_parity_unsorted(mat, monkeypatch):
+    # block_banded_info documents "already row-sorted" input, but the NumPy
+    # and native paths must agree on *any* input: both group consecutive
+    # equal-band-start runs (a value-keyed grouping would diverge here)
+    plan1 = block_banded_info(mat, 2)
+    _numpy_only(monkeypatch)
+    plan2 = block_banded_info(mat, 2)
+    assert plan1.blocks == plan2.blocks
+    assert plan1.nnz_q_estimate == plan2.nnz_q_estimate
+
+
 def test_permute_rows_parity(mat, monkeypatch, rng):
     perm = Permutation(rng.permutation(mat.nrows))
     d1 = mat.permute_rows(perm).to_dense()
