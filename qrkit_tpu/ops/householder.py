@@ -218,3 +218,37 @@ def form_q(Y: jnp.ndarray, T: jnp.ndarray) -> jnp.ndarray:
 def batched_panel_qr_yt(blocks: jnp.ndarray, panel_width: int = 16):
     """vmap of :func:`panel_qr_yt` over a [nb, m, n] block batch."""
     return jax.vmap(lambda a: panel_qr_yt(a, 0, panel_width))(blocks)
+
+
+@highest_precision
+def rank_masked_triangular_solve(
+    R: jnp.ndarray, y: jnp.ndarray, k: jnp.ndarray
+) -> jnp.ndarray:
+    """Basic-solution triangular solve of rank ``k`` (traced scalar).
+
+    For a *column-pivoted* R the dead pivots cluster at the tail, so the
+    leading k×k block is the nonsingular part: rows/cols >= k are masked to
+    identity, the RHS tail is zeroed, and x[k:] = 0.  This is exactly Eigen
+    ColPivHouseholderQR's basic least-squares solution
+    (/root/reference/test/test-qrkit.cpp uses it via the block solvers) with
+    XLA-static shapes — the rank enters only through masks.
+    """
+    n = R.shape[0]
+    i = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+    live = (i[:, None] < k) & (i[None, :] < k)
+    U = jnp.where(live, R, jnp.eye(n, dtype=R.dtype))
+    rhs = jnp.where(i < k, y, jnp.zeros((), y.dtype))
+    x = jax.lax.linalg.triangular_solve(
+        U, rhs[:, None], left_side=True, lower=False
+    )[:, 0]
+    return jnp.where(i < k, x, jnp.zeros((), x.dtype))
+
+
+def rank_from_diag(d: jnp.ndarray, m: int, n: int) -> jnp.ndarray:
+    """Numerical rank from |diag(R)| with Eigen's ColPiv-style threshold
+    (eps * max(m, n) * maxpivot)."""
+    d = jnp.abs(d)
+    tol = jnp.max(d, initial=jnp.zeros((), d.dtype)) * (
+        max(m, n) * jnp.finfo(d.dtype).eps
+    )
+    return jnp.sum(d > tol)

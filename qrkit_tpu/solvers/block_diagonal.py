@@ -33,6 +33,8 @@ from ..ops.householder import (
     colpiv_householder_qr,
     form_q,
     panel_qr_yt,
+    rank_from_diag,
+    rank_masked_triangular_solve,
 )
 from ..sparse import Permutation
 from .base import ComputationInfo, QRSolver
@@ -195,9 +197,19 @@ class BlockDiagonalQR(QRSolver):
         assert self.q_format == QFormat.FULL_Q, "solve_r requires FULL_Q"
         nb, bc = self._nb, self._bc
         yb = y[: nb * bc].reshape(nb, bc, 1)
-        xb = jax.lax.linalg.triangular_solve(
-            self.R, yb, left_side=True, lower=False
-        )
+        if self.pivot:
+            # per-block rank-masked basic solution: ColPiv clusters each
+            # block's dead pivots at its tail (reference per-block
+            # ColPivHouseholderQR semantics)
+            br = self._br
+            def one(Rb, ybk):
+                k = rank_from_diag(jnp.diagonal(Rb), br, bc)
+                return rank_masked_triangular_solve(Rb, ybk[:, 0], k)
+            xb = jax.vmap(one)(self.R, yb)
+        else:
+            xb = jax.lax.linalg.triangular_solve(
+                self.R, yb, left_side=True, lower=False
+            )
         x = xb.reshape(nb * bc)
         if self._ncols > nb * bc:  # zero tail columns: basic solution x=0 there
             x = jnp.concatenate([x, jnp.zeros((self._ncols - nb * bc,), x.dtype)])
@@ -208,3 +220,14 @@ class BlockDiagonalQR(QRSolver):
 
     def rows_permutation(self) -> Permutation:
         return self._row_perm
+
+    @property
+    def rank(self) -> int:
+        """Exact numerical rank = sum of per-block ranks (pivot=True only;
+        without pivoting this reports cols like the reference HouseholderQR)."""
+        if not self.pivot:
+            return self._ncols
+        br, bc = self._br, self._bc
+        d = jnp.diagonal(self.R, axis1=1, axis2=2)  # [nb, bc]
+        ks = jax.vmap(lambda db: rank_from_diag(db, br, bc))(d)
+        return int(jnp.sum(ks))

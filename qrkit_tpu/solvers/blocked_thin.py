@@ -30,6 +30,8 @@ from ..ops.householder import (
     build_t_factor,
     colpiv_householder_qr,
     panel_qr_yt,
+    rank_from_diag,
+    rank_masked_triangular_solve,
 )
 from ..sparse import Permutation, SparseCSR
 from .base import ComputationInfo, QRSolver
@@ -202,8 +204,36 @@ class BlockedThinSparseQR(QRSolver):
         # (m_outputPerm_c * m_houseColPerm, BlockedThinSparseQR.h:159)
         sigma1 = self._col_perm.indices
         self._out_col_perm = Permutation(sigma1[house])
+
+        # zero-pivot column tracking (BlockedThinSparseQR.h:150-159, 251-256):
+        # columns whose R pivot is numerically zero are recorded and pushed to
+        # the back of the Householder column permutation; rank() is exact.
+        diag = np.abs(np.diag(np.asarray(self._R)[: self._n, : self._n]))
+        tol = (diag.max() if diag.size else 0.0) * max(self._m, self._n) * np.finfo(
+            np.float64
+        ).eps
+        live = diag > tol
+        self._rank = int(live.sum())
+        nnz_idx = np.nonzero(live)[0]
+        zero_idx = np.nonzero(~live)[0]
+        order = np.concatenate([nnz_idx, zero_idx])  # order[newpos] = workingpos
+        house_perm = np.empty(self._n, dtype=np.int64)
+        house_perm[order] = np.arange(self._n)
+        self._house_col_perm = Permutation(house_perm)
+        self._repair = None  # lazy COD factors for rank-deficient solves
+
         self._set_success()
         return self
+
+    def house_cols_permutation(self) -> Permutation:
+        """Permutation pushing zero-pivot columns (in pivoted working order) to
+        the back — the reference's m_houseColPerm (BlockedThinSparseQR.h:150-159)."""
+        return self._house_col_perm
+
+    def deficient_cols(self) -> np.ndarray:
+        """Original column indices of the zero-pivot columns."""
+        inv = self._house_col_perm.inverse().indices  # newpos -> workingpos
+        return np.asarray(self._out_col_perm.indices)[inv[self._rank :]]
 
     def apply_q(self, m: jnp.ndarray) -> jnp.ndarray:
         return self.q_seq.apply_q(m)
@@ -215,9 +245,25 @@ class BlockedThinSparseQR(QRSolver):
         return self._R
 
     def solve_r(self, y: jnp.ndarray) -> jnp.ndarray:
-        return jax.lax.linalg.triangular_solve(
-            self._R[: self._n, : self._n], y[:, None], left_side=True, lower=False
-        )[:, 0]
+        n = self._n
+        R = self._R[:n, :n]
+        if self._rank == n:
+            return jax.lax.linalg.triangular_solve(
+                R, y[:n, None], left_side=True, lower=False
+            )[:, 0]
+        # Rank-deficient: per-panel pivoting leaves dead pivots scattered, so a
+        # prefix mask is not enough.  Complete the decomposition with one small
+        # n×n ColPiv QR of R (R·P2 = Q2·R2, dead pivots now clustered) and take
+        # the basic solution — residual-optimal over the live pivot columns.
+        if self._repair is None:
+            from .dense import _dense_colpiv_qr
+
+            self._repair = _dense_colpiv_qr(R)
+        Y2, T2, R2, perm2 = self._repair
+        yq = apply_wy(Y2, T2, y[:n], transpose=True)
+        k = rank_from_diag(jnp.diagonal(R2[:n]), n, n)
+        z = rank_masked_triangular_solve(jnp.triu(R2[:n]), yq[:n], k)
+        return jnp.zeros((n,), z.dtype).at[perm2].set(z)
 
     def cols_permutation(self) -> Permutation:
         return self._out_col_perm
@@ -227,8 +273,5 @@ class BlockedThinSparseQR(QRSolver):
 
     @property
     def rank(self) -> int:
-        d = np.abs(np.diag(np.asarray(self._R)[: self._n, : self._n]))
-        if d.size == 0:
-            return 0
-        tol = d.max() * max(self._m, self._n) * np.finfo(d.dtype).eps
-        return int((d > tol).sum())
+        """Exact numerical rank (counted during compute from the R pivots)."""
+        return self._rank

@@ -18,6 +18,8 @@ from ..ops.householder import (
     build_t_factor,
     colpiv_householder_qr,
     panel_qr_yt,
+    rank_from_diag,
+    rank_masked_triangular_solve,
 )
 from ..sparse import Permutation, SparseCSR
 from .base import ComputationInfo, QRSolver
@@ -93,10 +95,16 @@ class DenseColPivQR(_DenseQRBase):
     def cols_permutation(self) -> Permutation:
         return self._perm
 
+    def solve_r(self, y: jnp.ndarray) -> jnp.ndarray:
+        """Rank-aware basic solution: column pivoting clusters dead pivots at
+        the tail, so the masked prefix solve is the exact LS minimizer over
+        solutions supported on the live pivot columns."""
+        n = self._n
+        R = self._R[:n, :n]
+        k = rank_from_diag(jnp.diagonal(R), self._m, self._n)
+        return rank_masked_triangular_solve(R, y[:n], k)
+
     @property
     def rank(self) -> int:
-        d = np.abs(np.diag(np.asarray(self._R)[: self._n, : self._n]))
-        if d.size == 0:
-            return 0
-        tol = d.max() * max(self._m, self._n) * np.finfo(d.dtype).eps
-        return int((d > tol).sum())
+        d = jnp.diagonal(self._R[: self._n, : self._n])
+        return int(rank_from_diag(d, self._m, self._n))
