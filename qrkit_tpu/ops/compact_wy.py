@@ -99,6 +99,37 @@ class CompactWYSeq:
         sparse Q the same way, via Q * I — BandedBlockedSparseQR.h:741-765)."""
         return self.apply_q(jnp.eye(self.m, dtype=self.Y.dtype))
 
+    def to_sparse_q(self, chunk: int = 512, drop_tol: float = 0.0):
+        """Explicit *sparse* Q assembled by blocked application to unit-column
+        slabs (the Q·I product of BandedBlockedSparseQR.h:741-765, chunked).
+
+        Peak device memory is O(m·chunk) — never an [m, m] array; host memory
+        is O(nnz(Q)).  ``drop_tol`` prunes entries with |v| <= drop_tol (0.0
+        keeps every structurally-touched entry, matching the reference's
+        exact-zero pruning).  Note a chained (overlapping) sequence genuinely
+        fills Q's upper profile — nnz(Q) here equals the reference's.
+        """
+        import numpy as np
+
+        from ..sparse import SparseCSR
+
+        m = self.m
+        rows_l, cols_l, vals_l = [], [], []
+        eye_slab = jnp.eye(m, min(chunk, m), dtype=self.Y.dtype)
+        for c0 in range(0, m, chunk):
+            k = min(chunk, m - c0)
+            # columns e_{c0}..e_{c0+k-1}; no wraparound since i < k <= m - c0
+            slab = jnp.roll(eye_slab, c0, axis=0)[:, :k]
+            q_slab = np.asarray(self.apply_q(slab))
+            r, c = np.nonzero(np.abs(q_slab) > drop_tol)
+            rows_l.append(r)
+            cols_l.append(c + c0)
+            vals_l.append(q_slab[r, c])
+        return SparseCSR.from_triplets(
+            np.concatenate(rows_l), np.concatenate(cols_l), np.concatenate(vals_l),
+            (m, m),
+        )
+
     @staticmethod
     def single(Y: jnp.ndarray, T: jnp.ndarray, start: int, m: int) -> "CompactWYSeq":
         return CompactWYSeq(

@@ -429,6 +429,11 @@ class BandedBlockedQR(QRSolver):
     def apply_qt(self, m: jnp.ndarray) -> jnp.ndarray:
         return self.q_seq.apply_qt(m)
 
+    def matrix_q_sparse(self):
+        """Explicit sparse Q (of the row-permuted matrix) via chunked Q·I —
+        BandedBlockedSparseQR.h:741-765; see CompactWYSeq.to_sparse_q."""
+        return self.q_seq.to_sparse_q()
+
     def matrix_r_dense(self) -> jnp.ndarray:
         g = self.geom
         R = np.zeros((self._nrows, self._ncols), dtype=np.asarray(self.r_panels).dtype)

@@ -221,6 +221,39 @@ class BlockDiagonalQR(QRSolver):
     def rows_permutation(self) -> Permutation:
         return self._row_perm
 
+    def matrix_q_sparse(self):
+        """Explicit *sparse* Q in O(nnz(Q)) = O(nb·br²) memory — the
+        two-shifted-diagonal assembly of BlockDiagonalSparseQR.h:455-506.
+
+        FULL_Q: column layout [all economy blocks | all orthogonal
+        complements] (+ identity on zero tail rows); BLOCK_DIAGONAL_Q: Q is
+        block-diagonal.  Built on the host from the [nb, br, br] batch with
+        vectorized index maps — no [m, m] dense array anywhere.
+        """
+        from ..sparse import SparseCSR
+
+        nb, br, bc = self._nb, self._br, self._bc
+        Qb = np.asarray(self.Q)  # [nb, br, br]
+        i = np.arange(nb)[:, None, None]
+        r = np.arange(br)[None, :, None]
+        rows = (i * br + r + 0 * np.arange(br)[None, None, :]).reshape(-1)
+        if self.q_format == QFormat.BLOCK_DIAGONAL_Q:
+            c = np.arange(br)[None, None, :]
+            cols = (i * br + c + 0 * r).reshape(-1)
+        else:
+            c = np.arange(br)[None, None, :]
+            econ_cols = i * bc + c           # valid where c < bc
+            comp_cols = nb * bc + i * (br - bc) + (c - bc)  # where c >= bc
+            cols = np.where(c < bc, econ_cols, comp_cols)
+            cols = (cols + 0 * r).reshape(-1)
+        vals = Qb.reshape(-1)
+        # identity tail for zero rows (BlockDiagonalSparseQR.h:530-533)
+        tail = np.arange(nb * br, self._nrows)
+        rows = np.concatenate([rows, tail])
+        cols = np.concatenate([cols, tail])
+        vals = np.concatenate([vals, np.ones(tail.size, vals.dtype)])
+        return SparseCSR.from_triplets(rows, cols, vals, (self._nrows, self._nrows))
+
     @property
     def rank(self) -> int:
         """Exact numerical rank = sum of per-block ranks (pivot=True only;
