@@ -35,6 +35,95 @@ def _to_device_dense(block) -> jnp.ndarray:
     return jnp.asarray(block)
 
 
+class _RowSubsetQR(QRSolver):
+    """Adapter factoring only the structurally-nonzero rows of a sparse matrix.
+
+    QR of a matrix whose remaining rows are all-zero equals the QR of the
+    nonzero rows with an identity Q on the zero rows; the row permutation
+    moving the nonzero rows first is reported through ``rows_permutation()``
+    (the composite applies it around the inner Q, BlockAngularSparseQR.h's
+    ``applyRowPermutation`` role).  Peak inner memory is O(nnz-rows × cols)
+    instead of O(rows × cols)."""
+
+    def __init__(self, inner: QRSolver):
+        self.inner = inner
+
+    @property
+    def rows(self) -> int:
+        return self._nbot
+
+    @property
+    def cols(self) -> int:
+        return self._n
+
+    @property
+    def rank(self) -> int:
+        return self.inner.rank
+
+    def compute(self, mat: SparseCSR) -> "_RowSubsetQR":
+        nbot, n = mat.shape
+        row_nnz = np.diff(mat.indptr)
+        nz = np.nonzero(row_nnz > 0)[0]
+        if nz.size < n:  # keep the inner problem portrait
+            extra = np.setdiff1d(np.arange(nbot), nz)[: n - nz.size]
+            nz = np.sort(np.concatenate([nz, extra]))
+        rest = np.setdiff1d(np.arange(nbot), nz)
+        k = int(nz.size)
+        self._nbot, self._n, self._k = nbot, n, k
+        dest = np.empty(nbot, dtype=np.int64)
+        dest[nz] = np.arange(k)
+        dest[rest] = k + np.arange(rest.size)
+        self._rows_perm = Permutation(dest)
+        # dense copy of just the selected rows (vectorized CSR gather)
+        counts = row_nnz[nz]
+        total = int(counts.sum())
+        starts = np.concatenate([[0], np.cumsum(counts[:-1])]) if k else np.zeros(0, np.int64)
+        pos = np.arange(total) - np.repeat(starts, counts)
+        g = np.repeat(mat.indptr[:-1][nz], counts) + pos
+        sub = np.zeros((k, n), dtype=mat.data.dtype if mat.nnz else np.float64)
+        sub[np.repeat(np.arange(k), counts), mat.indices[g]] = mat.data[g]
+        self.inner.compute(jnp.asarray(sub))
+        self._info = self.inner.info()
+        return self
+
+    def _split(self, v):
+        vec = v.ndim == 1
+        v2 = v[:, None] if vec else v
+        return vec, v2
+
+    def apply_qt(self, v: jnp.ndarray) -> jnp.ndarray:
+        vec, v2 = self._split(v)
+        out = jnp.concatenate(
+            [self.inner.apply_qt(v2[: self._k]), v2[self._k :]], axis=0
+        )
+        return out[:, 0] if vec else out
+
+    def apply_q(self, v: jnp.ndarray) -> jnp.ndarray:
+        vec, v2 = self._split(v)
+        out = jnp.concatenate(
+            [self.inner.apply_q(v2[: self._k]), v2[self._k :]], axis=0
+        )
+        return out[:, 0] if vec else out
+
+    def matrix_r_dense(self) -> jnp.ndarray:
+        r = self.inner.matrix_r_dense()
+        return jnp.concatenate(
+            [r, jnp.zeros((self._nbot - self._k, self._n), r.dtype)], axis=0
+        )
+
+    def r_diagonal(self) -> jnp.ndarray:
+        return self.inner.r_diagonal()
+
+    def solve_r(self, y: jnp.ndarray) -> jnp.ndarray:
+        return self.inner.solve_r(y)
+
+    def cols_permutation(self) -> Permutation:
+        return self.inner.cols_permutation()
+
+    def rows_permutation(self) -> Permutation:
+        return self._rows_perm
+
+
 class BlockAngularQR(QRSolver):
     """QR of ``[A1 | A2]`` parameterized by left/right sub-solvers.
 
@@ -70,20 +159,37 @@ class BlockAngularQR(QRSolver):
         # 1) left factorization
         self.left.compute(mat.left)
 
-        # 2) J2 = Q1ᵀ (P_row_left A2) — the solveRightBlock step
-        a2 = _to_device_dense(mat.right)
-        lperm = self.left.rows_permutation()
-        if not lperm.is_identity():
-            a2 = a2[jnp.asarray(lperm.gather_indices())]
-        j2 = self.left.apply_qt(a2)
-        self._j2_top = j2[: self._m1]
-
-        # 3) right factorization on the lower rows
-        self.right.compute(j2[self._m1 :])
-
-        # 4) R top-right block with the right solver's column ordering applied
-        sigma2 = jnp.asarray(self.right.cols_permutation().indices)
-        self._r12 = self._j2_top[:, sigma2]
+        # 2+3) J2 = Q1ᵀ (P_row_left A2); right solver factors the bottom rows.
+        # A *sparse* A2 with a block-diagonal left solver keeps J2 sparse
+        # (per-block Qᵀ preserves block-row sparsity) — the reference's sparse
+        # QProduct specializations (BandedBlockedSparseQR.h:693, 722) play the
+        # same role.  Other combinations densify as before.
+        self._r12_coo = None
+        if isinstance(self.right, _RowSubsetQR):  # recompute: unwrap
+            self.right = self.right.inner
+        if isinstance(mat.right, SparseCSR) and self._left_supports_sparse_a2():
+            j2_bot = self._solve_right_block_sparse(mat.right)
+            self.right = _RowSubsetQR(self.right)
+            self.right.compute(j2_bot)
+            sigma2 = self.right.cols_permutation()
+            inv_s2 = sigma2.inverse().indices  # old col -> new col position
+            self._r12_coo = (
+                self._top_rows_dev,
+                jnp.asarray(inv_s2[np.asarray(self._top_cols)]),
+                self._top_vals_dev,
+            )
+            self._r12 = None
+        else:
+            a2 = _to_device_dense(mat.right)
+            lperm = self.left.rows_permutation()
+            if not lperm.is_identity():
+                a2 = a2[jnp.asarray(lperm.gather_indices())]
+            j2 = self.left.apply_qt(a2)
+            self._j2_top = j2[: self._m1]
+            self.right.compute(j2[self._m1 :])
+            # R top-right block with the right solver's column ordering applied
+            sigma2 = jnp.asarray(self.right.cols_permutation().indices)
+            self._r12 = self._j2_top[:, sigma2]
 
         # 5) composed permutations
         s1 = self.left.cols_permutation().indices
@@ -97,6 +203,74 @@ class BlockAngularQR(QRSolver):
 
         self._set_success()
         return self
+
+    def _left_supports_sparse_a2(self) -> bool:
+        from .block_diagonal import BlockDiagonalQR, QFormat
+
+        return (
+            isinstance(self.left, BlockDiagonalQR)
+            and self.left.q_format == QFormat.FULL_Q
+            # complement rows must all land in the bottom block
+            and self.left.cols == self.left._nb * self.left._bc
+        )
+
+    def _solve_right_block_sparse(self, a2: SparseCSR) -> SparseCSR:
+        """Sparse solveRightBlock for a block-diagonal left solver.
+
+        Gathers A2's nonzeros into per-(block, column) dense slabs [K, br],
+        applies the per-block Qᵀ as ONE batched matmul, and scatters economy
+        rows into a device-COO J2-top (kept sparse: O(nnz·br) memory instead of
+        O(n1·m2)) and complement+tail rows into a host CSR handed to the right
+        solver.  Mirrors the reference's sparse QProduct + solveRightBlock
+        (BlockAngularSparseQR.h:383-397)."""
+        left = self.left
+        nb, br, bc = left._nb, left._br, left._bc
+        m1, m2, n1 = self._m1, self._m2, self._n1
+        lperm = left.rows_permutation()
+        if not lperm.is_identity():
+            a2 = a2.permute_rows(lperm)
+
+        row_ids = np.repeat(np.arange(a2.nrows), np.diff(a2.indptr))
+        cols = a2.indices
+        vals = a2.data
+        body = row_ids < nb * br
+        b_of = row_ids[body] // br
+        r_of = row_ids[body] % br
+        keys = b_of * a2.ncols + cols[body]
+        uniq, inv = np.unique(keys, return_inverse=True)
+        K = int(uniq.size)
+        W = np.zeros((K, br), dtype=vals.dtype if vals.size else np.float64)
+        W[inv, r_of] = vals[body]
+        pair_b = (uniq // a2.ncols).astype(np.int64)
+        pair_c = (uniq % a2.ncols).astype(np.int64)
+
+        # one batched per-pair Qᵀ·w on the device
+        QtW = jnp.einsum(
+            "kij,ki->kj", left.Q[jnp.asarray(pair_b)], jnp.asarray(W)
+        )  # [K, br]
+
+        # economy rows -> J2 top (device COO, FULL_Q coordinates b*bc + i)
+        top_rows = (pair_b[:, None] * bc + np.arange(bc)).reshape(-1)
+        top_cols = np.repeat(pair_c, bc)
+        self._top_rows_dev = jnp.asarray(top_rows)
+        self._top_cols = top_cols
+        self._top_vals_dev = QtW[:, :bc].reshape(-1)
+
+        # complement rows -> J2 bottom (local row = global - m1)
+        comp_w = br - bc
+        comp_rows = (
+            nb * bc + pair_b[:, None] * comp_w + np.arange(comp_w)
+        ).reshape(-1) - m1
+        comp_cols = np.repeat(pair_c, comp_w)
+        comp_vals = np.asarray(QtW[:, bc:]).reshape(-1)
+        # zero-tail rows of A1 pass through Q1ᵀ unchanged
+        tail_rows = row_ids[~body] - m1
+        bot_rows = np.concatenate([comp_rows, tail_rows])
+        bot_cols = np.concatenate([comp_cols, cols[~body]])
+        bot_vals = np.concatenate([comp_vals, vals[~body]])
+        return SparseCSR.from_triplets(
+            bot_rows, bot_cols, bot_vals, (n1 - m1, m2)
+        )
 
     def r_diagonal(self) -> jnp.ndarray:
         """diag(R) of the composite = [diag(R1) | diag(R2)]."""
@@ -139,7 +313,11 @@ class BlockAngularQR(QRSolver):
         r2 = np.asarray(self.right.matrix_r_dense())
         R = np.zeros((n1, m1 + m2), dtype=r1.dtype)
         R[:m1, :m1] = r1[:m1, :m1]
-        R[:m1, m1:] = np.asarray(self._r12)
+        if self._r12_coo is not None:
+            rows, cols, vals = self._r12_coo
+            R[np.asarray(rows), m1 + np.asarray(cols)] = np.asarray(vals)
+        else:
+            R[:m1, m1:] = np.asarray(self._r12)
         R[m1 : m1 + m2, m1:] = r2[:m2, :m2]
         return jnp.asarray(R)
 
@@ -148,7 +326,12 @@ class BlockAngularQR(QRSolver):
         """Block back-substitution: x2 from R2, then x1 from the structured R1."""
         m1, m2 = self._m1, self._m2
         x2 = self.right.solve_r(y[m1 : m1 + m2])
-        x1 = self.left.solve_r(y[:m1] - self._r12 @ x2)
+        if self._r12_coo is not None:
+            rows, cols, vals = self._r12_coo
+            contrib = jnp.zeros((m1,), x2.dtype).at[rows].add(vals * x2[cols])
+        else:
+            contrib = self._r12 @ x2
+        x1 = self.left.solve_r(y[:m1] - contrib)
         return jnp.concatenate([x1, x2])
 
     def cols_permutation(self) -> Permutation:

@@ -104,6 +104,79 @@ def test_block_angular_blockdiag_left(rng):
     _check(qr, spj, rng)
 
 
+def _sparse_a2_problem(rng, nb, m2, density, tail_rows=0):
+    """Block-diagonal left (3x1 blocks) + wide sparse A2."""
+    br, bc = 3, 1
+    n1 = nb * br + tail_rows
+    blocks = rng.uniform(0.5, 5.0, size=(nb, br, bc))
+    blk = BlockDiagonal(jnp.asarray(blocks), n1, nb * bc)
+    nnz = max(int(n1 * m2 * density), m2 + 1)
+    rows = rng.integers(0, n1, size=nnz)
+    cols = rng.integers(0, m2, size=nnz)
+    # make sure every column has at least one entry (full column rank w.h.p.)
+    rows = np.concatenate([rows, rng.integers(0, n1, size=m2)])
+    cols = np.concatenate([cols, np.arange(m2)])
+    vals = rng.normal(size=rows.size)
+    a2 = SparseCSR.from_triplets(rows, cols, vals, (n1, m2))
+    return blk, a2
+
+
+def test_block_angular_sparse_a2_matches_dense_path(rng):
+    # small instance: the sparse-A2 path must agree with the dense path exactly
+    blk, a2 = _sparse_a2_problem(rng, nb=40, m2=6, density=0.05)
+    qr_sp = BlockAngularQR(BlockDiagonalQR(pivot=False), DenseColPivQR()).compute(
+        BlockMatrix1x2(blk, a2)
+    )
+    assert qr_sp._r12_coo is not None  # sparse path actually taken
+    qr_d = BlockAngularQR(BlockDiagonalQR(pivot=False), DenseColPivQR()).compute(
+        BlockMatrix1x2(blk, jnp.asarray(a2.to_dense()))
+    )
+    A = np.concatenate([blk.to_dense(), a2.to_dense()], axis=1)
+    x_true = rng.normal(size=A.shape[1])
+    b = A @ x_true
+    x_sp = np.asarray(qr_sp.solve(jnp.asarray(b)))
+    x_d = np.asarray(qr_d.solve(jnp.asarray(b)))
+    assert np.allclose(x_sp, x_true, atol=1e-8)
+    assert np.allclose(x_sp, x_d, atol=1e-8)
+    # factorization identity on the sparse path (R may differ from the dense
+    # path only by Householder sign choices after the row-subset reordering)
+    pA = qr_sp.rows_permutation().apply(A)
+    pAP = pA[:, qr_sp.cols_permutation().indices]
+    R = np.asarray(qr_sp.matrix_r_dense())
+    QtAP = np.asarray(qr_sp.apply_qt(jnp.asarray(pAP)))
+    assert np.allclose(QtAP, R, atol=1e-8), np.abs(QtAP - R).max()
+    # Qᵀ round trip through the row-subset right solver
+    v = rng.normal(size=blk.nrows)
+    vv = np.asarray(qr_sp.apply_q(qr_sp.apply_qt(jnp.asarray(v))))
+    assert np.allclose(vv, v, atol=1e-9)
+
+
+def test_block_angular_sparse_a2_wide_onnz(rng):
+    # wide sparse A2 (the reference's sparse QProduct case): peak memory must
+    # track nnz — the right solver sees only the nonzero bottom rows, and
+    # J2-top/r12 stay sparse (no [n1, m2] or [m1, m2] dense arrays).
+    nb, m2 = 5000, 64
+    blk, a2 = _sparse_a2_problem(rng, nb=nb, m2=m2, density=0.001)
+    from qrkit_tpu.solvers import DenseHouseholderQR
+
+    qr = BlockAngularQR(BlockDiagonalQR(pivot=False), DenseHouseholderQR()).compute(
+        BlockMatrix1x2(blk, a2)
+    )
+    assert qr._r12_coo is not None
+    # right solver factored a nnz-proportional row subset, not all bottom rows
+    n_bottom = blk.nrows - blk.ncols
+    assert qr.right._k <= 3 * a2.nnz + m2
+    assert qr.right._k < n_bottom // 3
+    # consistency: exact solve on a consistent system, no dense A ever formed
+    x_true = rng.normal(size=blk.ncols + m2)
+    b1 = np.einsum(
+        "bij,bj->bi", np.asarray(blk.blocks), x_true[: blk.ncols].reshape(nb, 1)
+    ).reshape(-1)
+    b = b1 + a2.to_dense() @ x_true[blk.ncols :]  # a2 dense here is test-only
+    x = np.asarray(qr.solve(jnp.asarray(b)))
+    assert np.allclose(x, x_true, atol=1e-6), np.abs(x - x_true).max()
+
+
 def test_block_angular_matrix_rhs(spj, rng):
     qr = BlockAngularQR(
         BandedBlockedQR(suggested_block_cols=8), DenseColPivQR()
