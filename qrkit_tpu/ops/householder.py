@@ -161,6 +161,9 @@ def panel_qr_yt(
     return Y, T, R
 
 
+_COLPIV_UNROLL_MAX = 48
+
+
 @highest_precision
 def colpiv_householder_qr(
     A: jnp.ndarray,
@@ -171,8 +174,15 @@ def colpiv_householder_qr(
     column swap are argmax + gather, so the whole routine jits and vmaps.
     Returns (Y, taus, R, perm) with ``A[:, perm] = Q R`` (perm[j] = original
     index of the j-th pivot, i.e. Eigen's colsPermutation().indices()).
+
+    Width guard: up to ``_COLPIV_UNROLL_MAX`` columns the loop unrolls at
+    trace time (fastest for the small panels this library lives on); wider
+    panels switch to a ``lax.scan`` body so trace/compile size stays O(1) in
+    the width instead of O(n).
     """
     m, n = A.shape
+    if n > _COLPIV_UNROLL_MAX:
+        return _colpiv_householder_qr_scan(A)
     dt = A.dtype
     perm = jnp.arange(n)
     cols = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
@@ -196,6 +206,51 @@ def colpiv_householder_qr(
     Y = jnp.stack(ys, axis=1) if n else jnp.zeros((m, 0), dt)
     tau_vec = jnp.stack(taus) if n else jnp.zeros((0,), dt)
     return Y, tau_vec, A, perm
+
+
+@highest_precision
+def _colpiv_householder_qr_scan(A: jnp.ndarray):
+    """lax.scan body of the column-pivoted QR — one compiled step for any
+    width (the unrolled loop above, with the step index traced)."""
+    m, n = A.shape
+    dt = A.dtype
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (m,), 0)
+
+    def body(carry, j):
+        A, perm, norms2 = carry
+        masked = jnp.where(cols >= j, norms2, jnp.full((), -jnp.inf, dt))
+        p = jnp.argmax(masked)
+        swap = jnp.where(cols == j, p, jnp.where(cols == p, j, cols))
+        A = A[:, swap]
+        perm = perm[swap]
+        norms2 = norms2[swap]
+        # _householder_column with a traced pivot index
+        col = jnp.take(A, j, axis=1)
+        tail_mask = rows > j
+        x0 = jnp.take(col, j)
+        tail = jnp.where(tail_mask, col, jnp.zeros((), dt))
+        sigma = jnp.sum(tail * tail)
+        norm = jnp.sqrt(x0 * x0 + sigma)
+        sign = jnp.where(x0 >= 0, jnp.ones((), dt), -jnp.ones((), dt))
+        beta = -sign * norm
+        degenerate = sigma <= jnp.zeros((), dt)
+        safe_denom = jnp.where(degenerate, jnp.ones((), dt), x0 - beta)
+        v = jnp.where(tail_mask, col / safe_denom, jnp.zeros((), dt))
+        v = jnp.where(rows == j, jnp.ones((), dt), v)
+        safe_beta = jnp.where(norm == 0, jnp.ones((), dt), beta)
+        tau = jnp.where(degenerate, jnp.zeros((), dt), (beta - x0) / safe_beta)
+        w = tau * (v @ A)
+        A = A - jnp.outer(v, w)
+        rj = jnp.where(cols > j, jnp.take(A, j, axis=0), jnp.zeros((), dt))
+        norms2 = jnp.maximum(norms2 - rj * rj, jnp.zeros((), dt))
+        return (A, perm, norms2), (v, tau)
+
+    init = (A, jnp.arange(n), jnp.sum(A * A, axis=0))
+    (A, perm, _), (Yt, taus) = jax.lax.scan(
+        body, init, jnp.arange(n, dtype=jnp.int32)
+    )
+    return Yt.T, taus, A, perm
 
 
 @highest_precision

@@ -84,7 +84,9 @@ class SegmentedBandedQR(QRSolver):
 
     ``segment_blocks`` controls L (blocks per segment).  Requires a uniform
     plan (equal block shapes/steps after merging, the common case for banded
-    Jacobians); non-uniform plans raise — use :class:`BandedBlockedQR`.
+    Jacobians); with ``fallback=True`` (default) non-uniform/short plans
+    delegate to a plain :class:`BandedBlockedQR`; with ``fallback=False``
+    they raise instead.
     """
 
     def __init__(
@@ -94,6 +96,7 @@ class SegmentedBandedQR(QRSolver):
         block_rows: Optional[int] = None,
         block_cols: Optional[int] = None,
         block_overlap: Optional[int] = None,
+        fallback: bool = True,
     ):
         self._suggested = suggested_block_cols
         self.L = segment_blocks
@@ -101,6 +104,8 @@ class SegmentedBandedQR(QRSolver):
             block_rows is not None and block_cols is not None and block_overlap is not None
         )
         self._brows, self._bcols, self._boverlap = block_rows, block_cols, block_overlap
+        self._fallback = fallback
+        self._delegate = None
         self._analysis_ok = False
 
     # --- shape ----------------------------------------------------------------------
@@ -114,6 +119,25 @@ class SegmentedBandedQR(QRSolver):
 
     # --- analysis -------------------------------------------------------------------
     def analyze_pattern(self, mat: SparseCSR):
+        """Segmented analysis; on a non-segmentable plan either delegates to a
+        plain :class:`BandedBlockedQR` (``fallback=True``) or raises."""
+        self._delegate = None
+        try:
+            return self._analyze_pattern_segmented(mat)
+        except ValueError:
+            if not self._fallback:
+                raise
+            from .banded_blocked import BandedBlockedQR
+
+            self._delegate = BandedBlockedQR(
+                self._brows, self._bcols, self._boverlap, self._suggested
+            )
+            self._delegate.analyze_pattern(mat)
+            self._nrows, self._ncols = mat.shape
+            self._analysis_ok = True
+            return self
+
+    def _analyze_pattern_segmented(self, mat: SparseCSR):
         self._nrows, self._ncols = mat.shape
         if self._static:
             self._row_perm = Permutation.identity(mat.nrows)
@@ -151,6 +175,11 @@ class SegmentedBandedQR(QRSolver):
     def compute(self, mat: SparseCSR, force_pattern_analysis: bool = False):
         if not self._analysis_ok or force_pattern_analysis:
             self.analyze_pattern(mat)
+        if self._delegate is not None:
+            self._delegate.compute(mat)
+            self._info = self._delegate._info
+            self._health = self._delegate._health
+            return self
         p, g = self.plan, self.geom
         nb, L = p.num_blocks, self.L
         o = self._overlap
@@ -336,6 +365,8 @@ class SegmentedBandedQR(QRSolver):
         return self
 
     def r_diagonal(self) -> jnp.ndarray:
+        if self._delegate is not None:
+            return self._delegate.r_diagonal()
         """diag(R) in P_split column order: interior panels then the boundary R2."""
         d = jnp.diagonal(self._r_panels, axis1=2, axis2=3)  # [S, L, k]
         k = d.shape[2]
@@ -422,6 +453,8 @@ class SegmentedBandedQR(QRSolver):
 
     # --- QRSolver interface -----------------------------------------------------
     def apply_qt(self, m: jnp.ndarray) -> jnp.ndarray:
+        if self._delegate is not None:
+            return self._delegate.apply_qt(m)
         vec = m.ndim == 1
         m2 = m[:, None] if vec else m
         top = self._apply_left_qt(m2)
@@ -430,6 +463,8 @@ class SegmentedBandedQR(QRSolver):
         return out[:, 0] if vec else out
 
     def apply_q(self, m: jnp.ndarray) -> jnp.ndarray:
+        if self._delegate is not None:
+            return self._delegate.apply_q(m)
         vec = m.ndim == 1
         m2 = m[:, None] if vec else m
         bottom = apply_wy(self._Y2, self._T2, m2[self._m1 :])
@@ -438,6 +473,8 @@ class SegmentedBandedQR(QRSolver):
         return out[:, 0] if vec else out
 
     def solve_r(self, y: jnp.ndarray) -> jnp.ndarray:
+        if self._delegate is not None:
+            return self._delegate.solve_r(y)
         """Two-phase back-substitution: boundary columns, then vmapped interior."""
         m1, m2 = self._m1, self._m2
         x2 = jax.lax.linalg.triangular_solve(
@@ -481,6 +518,8 @@ class SegmentedBandedQR(QRSolver):
         return jnp.concatenate([x1, x2])
 
     def matrix_r_dense(self) -> jnp.ndarray:
+        if self._delegate is not None:
+            return self._delegate.matrix_r_dense()
         """Dense R in the P_split column order (tests)."""
         n = self.cols
         R = np.zeros((self._nrows, n), dtype=np.asarray(self._R2).dtype)
@@ -499,7 +538,11 @@ class SegmentedBandedQR(QRSolver):
         return jnp.asarray(R)
 
     def cols_permutation(self) -> Permutation:
+        if self._delegate is not None:
+            return self._delegate.cols_permutation()
         return self._cols_perm
 
     def rows_permutation(self) -> Permutation:
+        if self._delegate is not None:
+            return self._delegate.rows_permutation()
         return self._row_perm

@@ -270,15 +270,15 @@ def load_matrix_market(path: str) -> "SparseCSR":
         while line.startswith("%"):
             line = f.readline()
         nrows, ncols, nnz = (int(v) for v in line.split())
-        rows = np.empty(nnz, dtype=np.int64)
-        cols = np.empty(nnz, dtype=np.int64)
-        vals = np.ones(nnz, dtype=np.float64)
-        for k in range(nnz):
-            entries = f.readline().split()
-            rows[k] = int(entries[0]) - 1
-            cols[k] = int(entries[1]) - 1
-            if not pattern:
-                vals[k] = float(entries[2])
+        # bulk parse (one np.loadtxt call, not a Python loop per line)
+        data = np.loadtxt(f, max_rows=nnz, ndmin=2) if nnz else np.zeros((0, 3))
+        rows = data[:, 0].astype(np.int64) - 1
+        cols = data[:, 1].astype(np.int64) - 1
+        vals = (
+            np.ones(nnz, dtype=np.float64)
+            if pattern
+            else data[:, 2].astype(np.float64)
+        )
     if symmetric:
         off = rows != cols
         rows, cols, vals = (

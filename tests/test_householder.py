@@ -160,3 +160,33 @@ def test_compact_wy_gap_zeros(rng):
     expect = Qsmall @ seg
     assert np.allclose(out[1:3], expect[:2], atol=1e-10)
     assert np.allclose(out[6:10], expect[2:], atol=1e-10)
+
+
+def test_colpiv_wide_scan_variant(rng):
+    """Wide panels (> unroll guard) take the lax.scan path; verify the QR
+    properties and agreement with the unrolled path."""
+    from qrkit_tpu.ops.householder import (
+        _COLPIV_UNROLL_MAX,
+        _colpiv_householder_qr_scan,
+        build_t_factor,
+        colpiv_householder_qr,
+        form_q,
+    )
+
+    m, n = 120, _COLPIV_UNROLL_MAX + 16  # forces the scan variant
+    A = jnp.asarray(rng.normal(size=(m, n)))
+    Y, taus, R, perm = colpiv_householder_qr(A)
+    Q = np.asarray(form_q(Y, build_t_factor(Y, taus)))
+    Rn = np.asarray(jnp.triu(R))
+    assert np.allclose(Q.T @ Q, np.eye(m), atol=1e-10)
+    assert np.allclose(Q @ Rn, np.asarray(A)[:, np.asarray(perm)], atol=1e-10)
+    d = np.abs(np.diag(Rn))
+    assert np.all(d[:-1] >= d[1:] - 1e-10)  # pivoting: non-increasing diag
+
+    # scan and unrolled variants agree exactly on a narrow panel
+    B = jnp.asarray(rng.normal(size=(20, 6)))
+    Y1, t1, R1, p1 = colpiv_householder_qr(B)
+    Y2, t2, R2, p2 = _colpiv_householder_qr_scan(B)
+    assert np.array_equal(np.asarray(p1), np.asarray(p2))
+    assert np.allclose(np.asarray(Y1), np.asarray(Y2), atol=1e-14)
+    assert np.allclose(np.asarray(R1), np.asarray(R2), atol=1e-14)

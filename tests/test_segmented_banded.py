@@ -47,6 +47,34 @@ def test_segmented_matches_plain_solution(rng):
 
 
 def test_segmented_rejects_short_chain(rng):
+    # with fallback disabled, a too-short chain still raises
     spj = overlapping_block_diagonal_matrix(16, 56, rng, False)
     with pytest.raises(ValueError):
-        SegmentedBandedQR(suggested_block_cols=2, segment_blocks=32).compute(spj)
+        SegmentedBandedQR(
+            suggested_block_cols=2, segment_blocks=32, fallback=False
+        ).compute(spj)
+
+
+def test_fallback_to_banded(rng):
+    """Non-segmentable plans delegate to BandedBlockedQR (docstring contract)."""
+    from generators import overlapping_block_diagonal_matrix
+    from qrkit_tpu.solvers import SegmentedBandedQR
+    from qrkit_tpu.solvers.base import ComputationInfo
+
+    # chain of 16 blocks < 2*L=64: too short for segmentation
+    spj = overlapping_block_diagonal_matrix(32, 112, rng, permute_rows=False)
+    qr = SegmentedBandedQR(suggested_block_cols=2, segment_blocks=32).compute(spj)
+    assert qr._delegate is not None
+    assert qr.info() == ComputationInfo.SUCCESS
+    dense = spj.to_dense()
+    x_true = rng.normal(size=spj.ncols)
+    b = qr.rows_permutation().apply(dense @ x_true)
+    x = np.asarray(qr.solve(jnp.asarray(b)))
+    assert np.allclose(x, x_true, atol=1e-8)
+    # fallback=False keeps the old raising behavior
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="BandedBlockedQR"):
+        SegmentedBandedQR(
+            suggested_block_cols=2, segment_blocks=32, fallback=False
+        ).compute(spj)
