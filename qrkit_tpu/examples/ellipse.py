@@ -141,6 +141,8 @@ class EllipseFitting:
     """
 
     def __init__(self, pts: np.ndarray, dtype=jnp.float64, fused: bool = True):
+        self._pts_np = np.asarray(pts)  # host copy (initial_params reads it —
+        # re-fetching the device copy would cost a tunnel round trip)
         self.pts = jnp.asarray(pts, dtype=dtype)
         self.n = int(pts.shape[1])
         self.dtype = dtype
@@ -197,7 +199,7 @@ class EllipseFitting:
 
     def initial_params(self) -> jnp.ndarray:
         """ellipse_fitting.cpp:208-232: bounding-box init + uniform t spread."""
-        pts = np.asarray(self.pts)
+        pts = self._pts_np
         n = self.n
         params = np.zeros(n + 5)
         params[:n] = np.arange(n) * (1.3 * np.pi / n)

@@ -217,7 +217,13 @@ def levenberg_marquardt_device(
     The reference has no analog (Eigen LM is a host loop) — this is the
     TPU-native "train loop as one XLA program" form.
     """
+    import jax
+
     cfg = config or LMConfig()
     fn = _build_device_minimize(residual_fn, damped_step_fn, _cfg_key(cfg))
     x, r, cost, lam, nu, it, done = fn(jnp.asarray(x0), aux)
-    return LMResult(x, float(cost), int(it), bool(done), float(lam))
+    # ONE device->host fetch for everything (each separate float()/int() costs
+    # a full round trip through a remote-accelerator tunnel — this line is the
+    # difference between ~1 and ~5 RTTs per fit at small N)
+    x_h, cost_h, lam_h, it_h, done_h = jax.device_get((x, cost, lam, it, done))
+    return LMResult(x_h, float(cost_h), int(it_h), bool(done_h), float(lam_h))
