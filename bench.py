@@ -4,8 +4,13 @@ Times the flagship pipeline (BASELINE.json config 2): fused block-diagonal
 factorize + least-squares solve, 10,000 blocks of 7x2, fp32, on the available
 accelerator, via the lane-batched Pallas kernel (the fastest path; the XLA
 compact-WY path is within ~10%% at this size and 2x slower at 500k blocks).
-Steady-state per-solve time is measured with a chained ``lax.scan`` of 50
-dependent solves (defeats async-dispatch undercounting) and a final host fetch.
+Steady-state per-solve time is measured with chained ``lax.scan``s of
+dependent solves at two lengths and the DIFFERENCE quotient
+``(T(hi) - T(lo)) / (hi - lo)`` — a single chained run still carries the
+fixed dispatch/tunnel round trip (~30 ms here), which at round-1's 50
+iterations dominated the number 40x; the difference method cancels it while
+keeping every solve data-dependent on the previous one (no async
+undercounting).
 
 ``vs_baseline`` is the speedup over the REFERENCE QRKit's own
 BlockDiagonalSparseQR (ColPivHouseholderQR per block) on the *same* problem,
@@ -28,7 +33,7 @@ import numpy as np
 
 NB = 10000
 BR, BC = 7, 2
-ITERS = 50
+ITERS_LO, ITERS_HI = 200, 1000
 
 
 def _baselines(nb: int):
@@ -111,10 +116,16 @@ def main():
     rel_resid = np.linalg.norm(resid) / np.linalg.norm(b_np)
     assert rel_resid < 1e-4, f"fp32 residual gate failed: {rel_resid}"
 
-    np.asarray(chained(blocks, b, iters=ITERS))  # compile + warm
-    t0 = time.time()
-    np.asarray(chained(blocks, b, iters=ITERS))
-    per_solve_s = (time.time() - t0) / ITERS
+    def wall(iters: int, reps: int = 3) -> float:
+        np.asarray(chained(blocks, b, iters=iters))  # compile + warm
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            np.asarray(chained(blocks, b, iters=iters))
+            best = min(best, time.time() - t0)
+        return best
+
+    per_solve_s = (wall(ITERS_HI) - wall(ITERS_LO)) / (ITERS_HI - ITERS_LO)
 
     ref_s, eigen_s = _baselines(NB)
     out = {
