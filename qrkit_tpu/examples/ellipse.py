@@ -118,12 +118,56 @@ def _damped_system(left, right, res, lam):
     return left_d, right_d, rhs
 
 
+@jax.jit
+def _residuals_soa(params: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
+    """Residuals in lane-major [2, N] form (block axis = TPU lanes)."""
+    n = pts.shape[1]
+    t = params[:n]
+    a, b, x0, y0, r = params[n], params[n + 1], params[n + 2], params[n + 3], params[n + 4]
+    ct, st = jnp.cos(t), jnp.sin(t)
+    cr, sr = jnp.cos(r), jnp.sin(r)
+    x = a * ct * cr - b * st * sr + x0
+    y = a * ct * sr + b * st * cr + y0
+    return jnp.stack([pts[0] - x, pts[1] - y], axis=0)  # [2, N]
+
+
+@jax.jit
+def _jacobian_soa(params: jnp.ndarray, pts: jnp.ndarray):
+    """Structured Jacobian in lane-major form: left [2, N] (the per-point 2×1
+    block as a column over lanes), right [2, 5, N]."""
+    n = pts.shape[1]
+    t = params[:n]
+    a, b, r = params[n], params[n + 1], params[n + 4]
+    ct, st = jnp.cos(t), jnp.sin(t)
+    cr, sr = jnp.cos(r), jnp.sin(r)
+    left = jnp.stack([a * cr * st + b * sr * ct, a * sr * st - b * cr * ct], axis=0)
+    one, zero = jnp.ones_like(t), jnp.zeros_like(t)
+    row0 = jnp.stack([-ct * cr, st * sr, -one, zero, a * ct * sr + b * st * cr], axis=0)
+    row1 = jnp.stack([-ct * sr, -st * cr, zero, -one, -a * ct * cr + b * st * sr], axis=0)
+    return left, jnp.stack([row0, row1], axis=0)  # [2, N], [2, 5, N]
+
+
 def _residuals_aux(params, pts):
     return _residuals(params, pts)
 
 
 def _damped_step_aux(params, res, lam, pts):
-    """Module-level damped step (hashable for the device-loop compile cache)."""
+    """Module-level damped step (hashable for the device-loop compile cache).
+
+    Lane-major (SoA) pipeline: the [nb, 3, 1] / [3N+5, 5] AoS panels of the
+    generic fused path are physically lane-padded 25–128× on TPU; recomputing
+    residuals/Jacobian in [·, N] form and calling the SoA kernel keeps every
+    array at full lane utilization (the `res` operand is ignored in favor of
+    the lane-major recompute — a few elementwise ops beat a relayout)."""
+    from ..functional import lm_damped_step_blockdiag1
+
+    left, right = _jacobian_soa(params, pts)
+    res_soa = _residuals_soa(params, pts)
+    return lm_damped_step_blockdiag1(left, right, res_soa, lam)
+
+
+def _damped_step_aux_aos(params, res, lam, pts):
+    """The generic fused path (kept as a cross-check of the SoA kernel)."""
     from ..functional import block_angular_lstsq
 
     left, right = _jacobian_blocks(params, pts)

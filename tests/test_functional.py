@@ -56,3 +56,27 @@ def test_block_angular_lstsq(rng, n_shards, tail):
         )
     )
     assert np.allclose(x, x_true, atol=1e-8), np.abs(x - x_true).max()
+
+
+def test_soa_damped_step_matches_aos(rng):
+    """The lane-major (SoA) damped LM step must match the generic fused
+    block-angular path to fp64 accuracy."""
+    import jax.numpy as jnp
+
+    from qrkit_tpu.examples.ellipse import (
+        Ellipse,
+        _damped_step_aux,
+        _damped_step_aux_aos,
+        _residuals,
+        ellipse_points,
+    )
+
+    pts = jnp.asarray(ellipse_points(Ellipse(), 120))
+    n = 120
+    params = jnp.zeros(n + 5).at[:n].set(jnp.arange(n) * 0.03)
+    params = params.at[n].set(6.0).at[n + 1].set(3.0).at[n + 2].set(15.0).at[n + 3].set(20.0).at[n + 4].set(0.1)
+    res = _residuals(params, pts)
+    for lam in (1e-6, 1e-3, 1.0):
+        d_soa = np.asarray(_damped_step_aux(params, res, jnp.asarray(lam), pts))
+        d_aos = np.asarray(_damped_step_aux_aos(params, res, jnp.asarray(lam), pts))
+        assert np.allclose(d_soa, d_aos, atol=1e-9), (lam, np.abs(d_soa - d_aos).max())
