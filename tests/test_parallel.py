@@ -92,3 +92,32 @@ def test_sharded_block_angular_end_to_end(rng):
     b = dense @ x_true
     x = np.asarray(qr.solve(jnp.asarray(b)))
     assert np.allclose(x, x_true, atol=1e-8), np.abs(x - x_true).max()
+
+
+def test_soa_damped_step_sharded_matches(rng):
+    """The lane-major damped LM step shards over the block/lane axis: XLA
+    inserts the cross-shard reductions for the bottom-panel QR; results must
+    equal the unsharded run."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from qrkit_tpu.examples.ellipse import (
+        Ellipse,
+        _damped_step_aux,
+        _residuals,
+        ellipse_points,
+    )
+    from qrkit_tpu.parallel import default_mesh
+
+    mesh = default_mesh()
+    n = 16 * mesh.devices.size
+    pts = jnp.asarray(ellipse_points(Ellipse(), n))
+    params = jnp.zeros(n + 5).at[:n].set(jnp.arange(n) * 0.02)
+    params = params.at[n].set(6.0).at[n + 1].set(3.0).at[n + 2].set(15.0).at[n + 3].set(20.0)
+    res = _residuals(params, pts)
+    lam = jnp.asarray(1e-3)
+    d_ref = np.asarray(_damped_step_aux(params, res, lam, pts))
+    pts_sh = jax.device_put(pts, NamedSharding(mesh, P(None, "dp")))
+    step = jax.jit(_damped_step_aux, in_shardings=(None, None, None, NamedSharding(mesh, P(None, "dp"))))
+    d_sh = np.asarray(step(params, res, lam, pts_sh))
+    assert np.allclose(d_sh, d_ref, atol=1e-9), np.abs(d_sh - d_ref).max()
