@@ -135,6 +135,9 @@ def _combine_t(T1, T2, Y1, Y2):
     return jnp.concatenate([top, bot], axis=0)
 
 
+_LAPACK_QR_MIN_WIDTH = 32
+
+
 @highest_precision
 def panel_qr_yt(
     A: jnp.ndarray, offset: int = 0, panel_width: int = 16
@@ -144,8 +147,20 @@ def panel_qr_yt(
     Recursively splits wide panels so the trailing update is a single large
     matmul chain per sub-panel — keeps the MXU fed for thin-QR workloads.
     ``R`` is the reduced matrix (upper-trapezoidal below row ``offset``).
+
+    Panels wider than ``_LAPACK_QR_MIN_WIDTH`` (with offset 0) delegate to the
+    backend's native blocked QR (:func:`panel_qr_yt_lapack`) — the unrolled
+    recursion's trace size and per-reflector pass count grow with the width,
+    which made e.g. a 400-boundary-column factorization both compile- and
+    run-bound.
     """
     m, n = A.shape
+    if offset == 0 and n > _LAPACK_QR_MIN_WIDTH:
+        # fp32-TPU precision verified: Q orthogonality ~6e-7 for [2000, 200],
+        # same as the recursive path (measure any on-device QᵀQ probe in fp64
+        # on the host — an fp32 verification matmul itself runs at bf16 and
+        # reads as a false 3e-3 failure)
+        return panel_qr_yt_lapack(A, panel_width)
     if n <= panel_width:
         Y, taus, Ared = householder_qr_unblocked(A, offset)
         return Y, build_t_factor(Y, taus), Ared
@@ -159,6 +174,37 @@ def panel_qr_yt(
     T = _combine_t(T1, T2, Y1, Y2)
     R = jnp.concatenate([A1, A2r], axis=1)
     return Y, T, R
+
+
+@highest_precision
+def panel_qr_yt_lapack(
+    A: jnp.ndarray, panel_width: int = 16
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Compact-WY factors from the backend's native (geqrf-style) QR.
+
+    ``jnp.linalg.qr(mode="raw")`` runs XLA's blocked Householder QR — O(1)
+    trace size in the width and LAPACK-grade runtime — and its reflector/tau
+    conventions match ours exactly (verified: Q = I + Y·(−T_std)·Yᵀ).  The
+    triangular factor is rebuilt per ``panel_width`` columns and merged with
+    the standard two-block recurrence in log-depth.
+    """
+    m, n = A.shape
+    h, taus = jnp.linalg.qr(A, mode="raw")
+    ht = h.T  # [m, n]
+    Y = jnp.tril(ht, -1) + jnp.eye(m, n, dtype=A.dtype)
+    R = jnp.concatenate(
+        [jnp.triu(ht[:n]), jnp.zeros((m - n, n), A.dtype)], axis=0
+    ) if m >= n else jnp.triu(ht)[:m]
+
+    def build(lo: int, hi: int) -> jnp.ndarray:
+        if hi - lo <= panel_width:
+            return build_t_factor(Y[:, lo:hi], taus[lo:hi])
+        mid = (lo + hi) // 2
+        return _combine_t(
+            build(lo, mid), build(mid, hi), Y[:, lo:mid], Y[:, mid:hi]
+        )
+
+    return Y, build(0, n), R
 
 
 _COLPIV_UNROLL_MAX = 48

@@ -377,6 +377,19 @@ class BandedBlockedQR(QRSolver):
         self._max_zeros = int(g["num_zeros"].max())
         self._max_emit = int(g["emit_rows"].max())
         self._mR = int(g["nrows"].max())
+        # device-resident copies of the static geometry: transferred ONCE per
+        # plan, not per factorize — through a remote-accelerator tunnel each
+        # small host->device transfer costs a full round trip, and these six
+        # arrays dominated repeated-compute wall time (the LM pattern)
+        self._geom_dev = {
+            k: jnp.asarray(g[k])
+            for k in ("carry_rows", "col_inc", "num_zeros", "ncols", "nrows", "cols")
+        }
+        self._solve_meta = (
+            jnp.asarray(g["cols"]),
+            jnp.asarray(g["emit_rows"]),
+            jnp.asarray(g["ncols"]),
+        )
         self._analysis_ok = True
         return self
 
@@ -392,12 +405,9 @@ class BandedBlockedQR(QRSolver):
         panels = pmat.blocks_dense(
             [b.astuple() for b in self.plan.blocks], self._mR, self._max_cols
         )
-        geom_dev = {
-            k: jnp.asarray(g[k]) for k in ("carry_rows", "col_inc", "num_zeros", "ncols", "nrows", "cols")
-        }
         self.q_seq, self.r_panels = banded_factorize(
             jnp.asarray(panels),
-            geom_dev,
+            self._geom_dev,
             max_active=self._max_active,
             max_cols=self._max_cols,
             max_carry=self._max_carry,
@@ -411,12 +421,12 @@ class BandedBlockedQR(QRSolver):
     def r_diagonal(self) -> jnp.ndarray:
         """diag(R) scattered from the per-block R panels (emit rows partition
         the columns disjointly — plan.solved_rows geometry)."""
-        g = self.geom
+        cols_d, emit_d, _ = self._solve_meta
         d = jnp.diagonal(self.r_panels, axis1=1, axis2=2)  # [nb, k]
         k = d.shape[1]
         j = jnp.arange(k)
-        pos = jnp.asarray(g["cols"])[:, None] + j[None, :]
-        valid = j[None, :] < jnp.asarray(g["emit_rows"])[:, None]
+        pos = cols_d[:, None] + j[None, :]
+        valid = j[None, :] < emit_d[:, None]
         idx = jnp.where(valid, pos, self._ncols)  # OOB lanes dropped
         return (
             jnp.zeros((self._ncols,), d.dtype).at[idx].set(d, mode="drop")
@@ -445,12 +455,12 @@ class BandedBlockedQR(QRSolver):
         return jnp.asarray(R)
 
     def solve_r(self, y: jnp.ndarray) -> jnp.ndarray:
-        g = self.geom
+        cols_d, emit_d, ncols_d = self._solve_meta
         return banded_solve_r(
             self.r_panels,
-            jnp.asarray(g["cols"]),
-            jnp.asarray(g["emit_rows"]),
-            jnp.asarray(g["ncols"]),
+            cols_d,
+            emit_d,
+            ncols_d,
             y,
             max_emit=self._max_emit,
             max_cols=self._max_cols,

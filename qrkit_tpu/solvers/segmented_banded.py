@@ -168,30 +168,29 @@ class SegmentedBandedQR(QRSolver):
         if self._overlap > step:
             raise ValueError("overlap exceeds column step; use BandedBlockedQR")
         self.geom = g
+        # invalidate lazy per-plan caches before rebuilding
+        for attr in ("_seg_gather", "_col_gather"):
+            if hasattr(self, attr):
+                delattr(self, attr)
+        self._prepare_segmentation()
         self._analysis_ok = True
         return self
 
     # --- factorization --------------------------------------------------------------
-    def compute(self, mat: SparseCSR, force_pattern_analysis: bool = False):
-        if not self._analysis_ok or force_pattern_analysis:
-            self.analyze_pattern(mat)
-        if self._delegate is not None:
-            self._delegate.compute(mat)
-            self._info = self._delegate._info
-            self._health = self._delegate._health
-            return self
+    def _prepare_segmentation(self):
+        """Pattern-only segmentation bookkeeping, run ONCE per plan.
+
+        Everything here (segment spans, per-segment local plans/geometry,
+        panel descriptor list, device-resident metadata, the P_split column
+        permutation) depends only on the sparsity plan — recomputing it every
+        factorize made repeated computes host-bound (the LM pattern:
+        analyzePattern once, factorize per iteration)."""
         p, g = self.plan, self.geom
         nb, L = p.num_blocks, self.L
         o = self._overlap
         S = -(-nb // L)
         self.S = S
-        pmat = (
-            mat.permute_rows(self._row_perm)
-            if not self._row_perm.is_identity()
-            else mat
-        )
         rows_, cols_, nrows_, ncols_ = p.as_arrays()
-        step = int(g["col_inc"][0])
 
         # --- segment row/column spans (host) --------------------------------------
         seg_first = [s * L for s in range(S)]
@@ -272,8 +271,8 @@ class SegmentedBandedQR(QRSolver):
             max_cols = max(max_cols, int(gs["ncols"].max()))
         self._emit = emit
 
-        # dense panels (rows local to segment, cols local to block) — one
-        # native extraction call over all S*L blocks
+        # dense-panel descriptor list (rows local to segment, cols local to
+        # block) — consumed by one native extraction call per factorize
         block_list = []
         for s_i in range(S):
             colbase = int(cols_[seg_first[s_i]]) + (o if s_i > 0 else 0)
@@ -286,66 +285,92 @@ class SegmentedBandedQR(QRSolver):
                     )
                 else:
                     block_list.append((0, 0, 0, 0))
-        panels = pmat.blocks_dense(block_list, mR, max_cols).reshape(
+        self._block_list = block_list
+        self._mRloc = mR
+
+        self._kw = dict(
+            max_active=max(int(g_s["active"].max()) for g_s in seg_geoms),
+            max_cols=max_cols,
+            max_carry=max(max(int(g_s["carry_rows"].max()) for g_s in seg_geoms), 1),
+            max_zeros=max(int(g_s["num_zeros"].max()) for g_s in seg_geoms),
+            max_emit=int(emit.max()),
+        )
+        self._max_cols = max_cols
+        self._max_emit = self._kw["max_emit"]
+        self._max_seg_rows = max_seg_rows
+        self._loc_geom = loc_geom
+        self._active = active
+        # device-resident static metadata (transferred once per plan)
+        self._starts = jnp.asarray(loc_geom["cols"], dtype=jnp.int32)
+        self._carry_d = jnp.asarray(loc_geom["carry_rows"].reshape(-1), dtype=jnp.int32)
+        self._nrows_d = jnp.asarray(loc_geom["nrows"].reshape(-1), dtype=jnp.int32)
+        self._colinc_d = jnp.asarray(loc_geom["col_inc"], dtype=jnp.int32)
+        self._nzeros_d = jnp.asarray(loc_geom["num_zeros"], dtype=jnp.int32)
+        self._ncols_d = jnp.asarray(loc_geom["ncols"], dtype=jnp.int32)
+        self._active_d = jnp.asarray(active)
+        self._emit_d = jnp.asarray(emit, dtype=jnp.int32)
+        self._seg_col0_d = jnp.asarray(self._seg_col0)
+
+        # column permutation: P_split (interior-first) — A · P = Q · R
+        self._cols_perm = Permutation(
+            np.concatenate([self._icols_idx, self._bcols_idx])
+        )
+
+    def compute(self, mat: SparseCSR, force_pattern_analysis: bool = False):
+        if not self._analysis_ok or force_pattern_analysis:
+            self.analyze_pattern(mat)
+        if self._delegate is not None:
+            self._delegate.compute(mat)
+            self._info = self._delegate._info
+            self._health = self._delegate._health
+            return self
+        S, L = self.S, self.L
+        pmat = (
+            mat.permute_rows(self._row_perm)
+            if not self._row_perm.is_identity()
+            else mat
+        )
+        mR, max_cols = self._mRloc, self._max_cols
+        panels = pmat.blocks_dense(self._block_list, mR, max_cols).reshape(
             S, L, mR, max_cols
         )
 
-        # boundary block A_B (dense [m, m2])
+        # boundary block A_B (dense [m, m2]) — one O(nnz) vectorized gather
+        # (per-column panel extraction scanned every row per boundary column:
+        # O(m·m2) host time that dominated repeated factorizes)
         if self._m2:
-            ab_stack = pmat.blocks_dense(
-                [(0, int(c), self._nrows, 1) for c in self._bcols_idx],
-                self._nrows, 1,
-            )  # [m2, m, 1]
-            a_b = np.ascontiguousarray(ab_stack[:, :, 0].T)
+            col_pos = np.full(self._ncols, -1, dtype=np.int64)
+            col_pos[self._bcols_idx] = np.arange(self._m2)
+            row_ids = np.repeat(np.arange(self._nrows), np.diff(pmat.indptr))
+            cp = col_pos[pmat.indices]
+            sel = cp >= 0
+            a_b = np.zeros((self._nrows, self._m2))
+            a_b[row_ids[sel], cp[sel]] = pmat.data[sel]
         else:
             a_b = np.zeros((self._nrows, 0))
-        max_active_loc = max(int(g_s["active"].max()) for g_s in seg_geoms)
-        max_carry_loc = max(max(int(g_s["carry_rows"].max()) for g_s in seg_geoms), 1)
-        max_zeros_loc = max(int(g_s["num_zeros"].max()) for g_s in seg_geoms)
 
         # --- device phase 1: vmapped segment chains --------------------------------
         dtype = jnp.float32 if not jax.config.jax_enable_x64 else jnp.float64
-        max_active = max_active_loc
-        max_carry = max_carry_loc
-        max_zeros = max_zeros_loc
-        max_emit = int(emit.max())
-        self._max_cols = max_cols
-        self._max_emit = max_emit
-
         from .banded_blocked import _shift_panels
 
         pj = jnp.asarray(panels.reshape(S * L, mR, max_cols), dtype=dtype)
         shifted = _shift_panels(
-            pj,
-            jnp.asarray(loc_geom["carry_rows"].reshape(-1), dtype=jnp.int32),
-            jnp.asarray(loc_geom["nrows"].reshape(-1), dtype=jnp.int32),
-            max_active,
-        ).reshape(S, L, max_active, max_cols)
+            pj, self._carry_d, self._nrows_d, self._kw["max_active"]
+        ).reshape(S, L, self._kw["max_active"], max_cols)
 
-        kw = dict(
-            max_active=max_active,
-            max_cols=max_cols,
-            max_carry=max_carry,
-            max_zeros=max_zeros,
-            max_emit=max_emit,
-        )
-        C0 = jnp.zeros((S, max_carry, max_cols), dtype)
+        C0 = jnp.zeros((S, self._kw["max_carry"], max_cols), dtype)
         Cout, (Yws, Ts, Vs) = _vmapped_chain(
             C0,
             shifted,
-            jnp.asarray(loc_geom["col_inc"], dtype=jnp.int32),
-            jnp.asarray(loc_geom["num_zeros"], dtype=jnp.int32),
-            jnp.asarray(loc_geom["ncols"], dtype=jnp.int32),
-            jnp.asarray(active),
-            **kw,
+            self._colinc_d,
+            self._nzeros_d,
+            self._ncols_d,
+            self._active_d,
+            **self._kw,
         )
         # per-segment implicit Q: windows anchored at local column offsets
         self._Yws, self._Ts = Yws, Ts
-        self._starts = jnp.asarray(loc_geom["cols"], dtype=jnp.int32)
-        self._max_seg_rows = max_seg_rows
         self._r_panels = Vs  # [S, L, max_emit, max_cols]
-        self._loc_geom = loc_geom
-        self._active = active
 
         # --- phase 2: Q1ᵀ A_B, thin QR of its lower rows ---------------------------
         ab = jnp.asarray(a_b, dtype=dtype)
@@ -357,10 +382,6 @@ class SegmentedBandedQR(QRSolver):
         self._Y2, self._T2, R2 = _dense_qr(j2_bot)
         self._R2 = jnp.triu(R2)[: self._m2]
 
-        # column permutation: P_split (interior-first) — A · P = Q · R
-        self._cols_perm = Permutation(
-            np.concatenate([self._icols_idx, self._bcols_idx])
-        )
         self._set_success()
         return self
 
@@ -372,13 +393,13 @@ class SegmentedBandedQR(QRSolver):
         k = d.shape[2]
         j = jnp.arange(k)
         pos = (
-            jnp.asarray(self._seg_col0)[:, None, None]
+            self._seg_col0_d[:, None, None]
             + self._starts[:, :, None]
             + j[None, None, :]
         )
-        valid = (j[None, None, :] < jnp.asarray(self._emit)[:, :, None]) & jnp.asarray(
-            self._active
-        )[:, :, None]
+        valid = (j[None, None, :] < self._emit_d[:, :, None]) & self._active_d[
+            :, :, None
+        ]
         n = self.cols
         idx = jnp.where(valid, pos, n)
         out = jnp.zeros((n,), d.dtype).at[idx].set(d, mode="drop")
@@ -509,9 +530,9 @@ class SegmentedBandedQR(QRSolver):
             ypad,
             self._r_panels,
             self._starts,
-            jnp.asarray(self._emit, dtype=jnp.int32),
-            jnp.asarray(self._loc_geom["ncols"], dtype=jnp.int32),
-            jnp.asarray(self._active),
+            self._emit_d,
+            self._ncols_d,
+            self._active_d,
         )
         idx = jnp.where(self._col_valid, self._col_gather, m1)
         x1 = jnp.zeros((m1,), dt).at[idx].set(xs, mode="drop")

@@ -190,3 +190,16 @@ def test_colpiv_wide_scan_variant(rng):
     assert np.array_equal(np.asarray(p1), np.asarray(p2))
     assert np.allclose(np.asarray(Y1), np.asarray(Y2), atol=1e-14)
     assert np.allclose(np.asarray(R1), np.asarray(R2), atol=1e-14)
+
+
+def test_panel_qr_yt_lapack_wide(rng):
+    """Wide panels route through the backend-native QR; the compact-WY
+    factors must satisfy the same contract as the unrolled path."""
+    from qrkit_tpu.ops.householder import form_q, panel_qr_yt
+
+    m, n = 300, 120  # > _LAPACK_QR_MIN_WIDTH -> lapack path
+    A = jnp.asarray(rng.normal(size=(m, n)))
+    Y, T, R = panel_qr_yt(A)
+    Q = np.asarray(form_q(Y, T))
+    assert np.allclose(Q.T @ Q, np.eye(m), atol=1e-10)
+    assert np.allclose(Q[:, :n] @ np.triu(np.asarray(R)[:n]), np.asarray(A), atol=1e-9)
