@@ -27,6 +27,7 @@ __all__ = [
     "block_diagonal_factorize",
     "block_diagonal_lstsq",
     "block_angular_lstsq",
+    "lm_damped_step_blockdiag",
     "lm_damped_step_blockdiag1",
 ]
 
@@ -183,6 +184,105 @@ def _soa_tall_qr_solve(X: jnp.ndarray, y: jnp.ndarray, m2: int):
     return jax.lax.linalg.triangular_solve(
         jnp.triu(R2), y2[:, None], left_side=True, lower=False
     )[:, 0]
+
+
+@jax.jit
+@highest_precision
+def lm_damped_step_blockdiag(
+    left: jnp.ndarray,  # [bl, bc, nb] — per-point Jacobian block (lane-major)
+    right: jnp.ndarray,  # [bl, m2, nb] — per-point rows of the dense right block
+    res: jnp.ndarray,  # [bl, nb]
+    lam: jnp.ndarray,  # scalar damping
+):
+    """General multi-column lane-major damped Gauss–Newton step.
+
+    Solves ``min ‖[J; √λ·I] δ + [r; 0]‖`` for ``J = [blkdiag(left_i) | right]``
+    with ``left_i`` the [bl, bc] block of point i — the flagship 7×2 family
+    with angular columns.  Everything stays lane-major (block axis = TPU
+    lanes): bc unrolled per-lane Householder steps with trailing updates on
+    the remaining block columns, right rows and RHS; lane-pivoted Householder
+    QR of the skinny bottom panel; per-lane bc×bc back-substitution.  Damping
+    rows are analytic: √λ·I_bc under each block (the reference's 7×2 → 9×2
+    LM-damping pattern, test-utils.cpp:254-274) and √λ·I_m2 at the tail.
+
+    Returns ``(x1 [bc, nb], x2 [m2])`` — x1 stays lane-major; interleave with
+    ``x1.T.reshape(-1)`` only if an AoS vector is genuinely needed (that
+    relayout re-pads to 128 lanes).
+    """
+    bl, bc, nb = left.shape
+    m2 = right.shape[1]
+    dt = left.dtype
+    sl = jnp.sqrt(lam).astype(dt)
+
+    # damped block per lane: a [br, bc, nb], br = bl + bc, damping rows √λ·I_bc
+    eye_damp = jnp.broadcast_to(
+        (sl * jnp.eye(bc, dtype=dt))[:, :, None], (bc, bc, nb)
+    )
+    a = jnp.concatenate([left, eye_damp], axis=0)
+    B = jnp.concatenate(
+        [
+            jnp.concatenate([right, -res[:, None, :]], axis=1),
+            jnp.zeros((bc, m2 + 1, nb), dt),
+        ],
+        axis=0,
+    )  # [br, m2+1, nb]
+    br = bl + bc
+
+    r1_rows = []  # per-lane rows of the bc×bc R₁ (diag from beta)
+    for j in range(bc):
+        colj = a[:, j]  # [br, nb]
+        x0 = colj[j]
+        sigma = jnp.sum(colj[j + 1 :] * colj[j + 1 :], axis=0)
+        norm = jnp.sqrt(x0 * x0 + sigma)
+        sign = jnp.where(x0 >= 0, jnp.ones((), dt), -jnp.ones((), dt))
+        beta = -sign * norm
+        degen = sigma <= jnp.zeros((), dt)
+        denom = jnp.where(degen, jnp.ones((), dt), x0 - beta)
+        safe_beta = jnp.where(norm == 0, jnp.ones((), dt), beta)
+        tau = jnp.where(degen, jnp.zeros((), dt), (beta - x0) / safe_beta)
+        v = jnp.concatenate(
+            [
+                jnp.zeros((j, nb), dt),
+                jnp.ones((1, nb), dt),
+                colj[j + 1 :] / denom,
+            ],
+            axis=0,
+        )  # [br, nb]
+        # trailing update on block columns j+1.. and on [right | rhs]
+        if j + 1 < bc:
+            wA = jnp.einsum("rn,rcn->cn", v, a[:, j + 1 :])
+            a = a.at[:, j + 1 :].add(-tau[None, None, :] * v[:, None, :] * wA[None])
+        wB = jnp.einsum("rn,rcn->cn", v, B)
+        B = B - tau[None, None, :] * v[:, None, :] * wB[None]
+        # R₁ row j: diag = beta (or x0 when degenerate), off-diag from updated a
+        diag_j = jnp.where(degen, x0, beta)
+        row = [jnp.zeros((nb,), dt)] * j + [diag_j] + [
+            a[j, jj] for jj in range(j + 1, bc)
+        ]
+        r1_rows.append(jnp.stack(row, axis=0))  # [bc, nb]
+    R1 = jnp.stack(r1_rows, axis=0)  # [bc, bc, nb]
+
+    y1 = B[:bc, m2]  # [bc, nb]
+    r12 = B[:bc, :m2]  # [bc, m2, nb]
+
+    # bottom panel: complement rows + √λ·I_m2 tail, lane-major
+    comp = jnp.transpose(B[bc:], (1, 0, 2)).reshape(m2 + 1, (br - bc) * nb)
+    tail = jnp.concatenate(
+        [sl * jnp.eye(m2, dtype=dt), jnp.zeros((1, m2), dt)], axis=0
+    )
+    Xy = jnp.concatenate([comp, tail], axis=1)
+    x2 = _soa_tall_qr_solve(Xy[:m2], Xy[m2], m2)
+
+    # per-lane bc×bc back-substitution through R₁
+    rhs1 = y1 - jnp.einsum("jcn,c->jn", r12, x2)  # [bc, nb]
+    x1_rows = [None] * bc
+    for j in range(bc - 1, -1, -1):
+        acc = rhs1[j]
+        for jj in range(j + 1, bc):
+            acc = acc - R1[j, jj] * x1_rows[jj]
+        x1_rows[j] = acc / R1[j, j]
+    x1 = jnp.stack(x1_rows, axis=0)  # [bc, nb]
+    return x1, x2
 
 
 @jax.jit

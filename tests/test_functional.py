@@ -80,3 +80,44 @@ def test_soa_damped_step_matches_aos(rng):
         d_soa = np.asarray(_damped_step_aux(params, res, jnp.asarray(lam), pts))
         d_aos = np.asarray(_damped_step_aux_aos(params, res, jnp.asarray(lam), pts))
         assert np.allclose(d_soa, d_aos, atol=1e-9), (lam, np.abs(d_soa - d_aos).max())
+
+
+def test_soa_damped_step_multicolumn_matches_aos(rng):
+    """General lane-major damped step (bc=2, the 7x2 flagship family) must
+    match block_angular_lstsq on the explicitly assembled damped system."""
+    import jax.numpy as jnp
+
+    from qrkit_tpu.functional import block_angular_lstsq, lm_damped_step_blockdiag
+
+    nb, bl, bc, m2 = 50, 7, 2, 4
+    left = rng.normal(size=(bl, bc, nb))
+    right = rng.normal(size=(bl, m2, nb))
+    res = rng.normal(size=(bl, nb))
+    for lam in (1e-6, 1e-2, 1.0):
+        sl = np.sqrt(lam)
+        # AoS damped system: per-block [bl + bc, bc] with sqrt(lam) I_bc tail rows
+        left_d = np.zeros((nb, bl + bc, bc))
+        left_d[:, :bl] = np.transpose(left, (2, 0, 1))
+        left_d[:, bl:] = sl * np.eye(bc)
+        right_d = np.zeros((nb * (bl + bc) + m2, m2))
+        right_rows = np.transpose(right, (2, 0, 1))  # [nb, bl, m2]
+        for i in range(nb):
+            right_d[i * (bl + bc) : i * (bl + bc) + bl] = right_rows[i]
+        right_d[nb * (bl + bc) :] = sl * np.eye(m2)
+        rhs = np.zeros(nb * (bl + bc) + m2)
+        res_rows = res.T  # [nb, bl]
+        for i in range(nb):
+            rhs[i * (bl + bc) : i * (bl + bc) + bl] = -res_rows[i]
+
+        ref = np.asarray(
+            block_angular_lstsq(
+                jnp.asarray(left_d), jnp.asarray(right_d), jnp.asarray(rhs),
+                n_shards=1, tail=m2,
+            )
+        )
+        x1, x2 = lm_damped_step_blockdiag(
+            jnp.asarray(left), jnp.asarray(right), jnp.asarray(res),
+            jnp.asarray(lam),
+        )
+        got = np.concatenate([np.asarray(x1).T.reshape(-1), np.asarray(x2)])
+        assert np.allclose(got, ref, atol=1e-9), (lam, np.abs(got - ref).max())
