@@ -86,6 +86,15 @@ class BlockedThinDenseQR(QRSolver):
             mat = jnp.asarray(mat.to_dense())
         mat = jnp.asarray(mat)
         self._m, self._n = map(int, mat.shape)
+        if self._n > 64:
+            # wide input: the per-panel python loop unrolls O(n) reflectors at
+            # trace time; one backend-native blocked QR gives the identical
+            # contract (same Q·R, no perms, not rank-revealing) at O(1) trace
+            Y, T, R = panel_qr_yt(mat)
+            self.q_seq = CompactWYSeq.single(Y, T, 0, self._m)
+            self._R = jnp.triu(R)
+            self._set_success()
+            return self
         Y, T, R = _thin_dense_factorize(mat, self.c)
         starts = np.asarray(_panel_starts(self._n, self.c), dtype=np.int32) * 0
         # windows span full height (Y has zeros above the panel diagonal)

@@ -84,3 +84,17 @@ def test_thin_sparse_pivot_ordering(rng):
     for p0 in range(0, 8, 4):
         blk = d[p0 : p0 + 4]
         assert np.all(blk[:-1] >= blk[1:] - 1e-9)
+
+
+def test_thin_dense_wide_input(rng):
+    """Wide dense input routes through the native blocked QR — same contract."""
+    m, n = 200, 96
+    A = rng.normal(size=(m, n))
+    qr = BlockedThinDenseQR(2).compute(jnp.asarray(A))
+    x_true = rng.normal(size=n)
+    b = A @ x_true
+    x = np.asarray(qr.solve(jnp.asarray(b)))
+    assert np.allclose(x, x_true, atol=1e-8)
+    Q = np.asarray(qr.matrix_q_dense())
+    assert np.allclose(Q.T @ Q, np.eye(m), atol=1e-10)
+    assert np.allclose(Q @ np.asarray(qr.matrix_r_dense()), A, atol=1e-9)
