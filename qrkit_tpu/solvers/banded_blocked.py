@@ -363,6 +363,18 @@ class BandedBlockedQR(QRSolver):
             self._row_perm, has_perm = as_banded_as_possible(mat)
             sorted_mat = mat.permute_rows(self._row_perm) if has_perm else mat
             self.plan = block_banded_info(sorted_mat, self._suggested)
+        return self._finish_analysis()
+
+    def set_analysis(self, plan: StructurePlan, row_perm: Optional[Permutation] = None):
+        """Install a precomputed plan (e.g. ``persist.load_analysis``) —
+        the checkpoint/resume path: factorize without re-running pattern
+        analysis on restart (SURVEY §5.4)."""
+        self._nrows, self._ncols = plan.nrows, plan.ncols
+        self._row_perm = row_perm if row_perm is not None else Permutation.identity(plan.nrows)
+        self.plan = plan
+        return self._finish_analysis()
+
+    def _finish_analysis(self):
         if self.plan.num_blocks == 0:
             self._info = ComputationInfo.INVALID_INPUT
             raise ValueError(

@@ -36,3 +36,33 @@ def test_timer_and_timed():
     assert float(out[0]) == 2.0
     assert secs >= 0
     assert "section" in timer.summary()
+
+
+def test_resume_from_saved_analysis(rng, tmp_path):
+    """Checkpoint/resume: analyze once, persist, then factorize on 'restart'
+    via set_analysis without re-running pattern analysis."""
+    import jax.numpy as jnp
+
+    from generators import overlapping_block_diagonal_matrix
+    from qrkit_tpu.solvers import BandedBlockedQR
+
+    spj = overlapping_block_diagonal_matrix(64, 224, rng, permute_rows=True)
+    fresh = BandedBlockedQR(suggested_block_cols=4)
+    fresh.analyze_pattern(spj)
+    path = str(tmp_path / "analysis.json")
+    save_analysis(path, fresh.plan, row_perm=fresh.rows_permutation())
+    fresh.compute(spj)
+
+    plan, rp, _ = load_analysis(path)
+    resumed = BandedBlockedQR(suggested_block_cols=4)
+    resumed.set_analysis(plan, rp)
+    resumed.compute(spj)
+
+    x_true = rng.normal(size=spj.ncols)
+    b = resumed.rows_permutation().apply(spj.to_dense() @ x_true)
+    x = np.asarray(resumed.solve(jnp.asarray(b)))
+    assert np.allclose(x, x_true, atol=1e-8)
+    assert np.allclose(
+        np.asarray(resumed.matrix_r_dense()), np.asarray(fresh.matrix_r_dense()),
+        atol=1e-12,
+    )
