@@ -293,67 +293,9 @@ def lm_damped_step_blockdiag1(
     res: jnp.ndarray,  # [bl, nb] — per-point residuals
     lam: jnp.ndarray,  # scalar damping
 ) -> jnp.ndarray:
-    """Damped Gauss–Newton step for the 1-column-per-block angular Jacobian,
-    entirely in structure-of-arrays (lane-major) layout.
-
-    Solves ``min ‖[J; √λ·I] δ + [r; 0]‖`` for ``J = [blkdiag(left cols) | right]``
-    — the exact computation of :func:`block_angular_lstsq` on the damped
-    system, re-laid-out for the TPU memory system: the block axis nb is the
-    *lane* axis of every array, so nothing is padded 128-wide.  (AoS arrays
-    like ``[nb, 3, 1]`` blocks or ``[3nb+5, 5]`` panels pay a 25–128× HBM
-    blowup from lane padding; at nb = 500k that made the damped step
-    44 ms — this layout runs it in a few ms.)  Same Householder math:
-    per-lane elimination of the left column (batched over lanes), then a
-    lane-pivoted Householder QR of the bottom panel, then the two-level
-    back-substitution.  The damping rows are analytic (√λ under each block,
-    √λ·I₅ at the tail), matching the reference's LM-damping row-interleave
-    pattern (test-utils.cpp:254-274).
-    """
-    bl, nb = left.shape
-    m2 = right.shape[1]
-    dt = left.dtype
-    sl = jnp.sqrt(lam).astype(dt)
-
-    # damped left column per lane: a = [left; √λ]  [br, nb], br = bl+1
-    a = jnp.concatenate([left, jnp.full((1, nb), 1.0, dt) * sl], axis=0)
-    # right rows + RHS column (−res; damping row contributes zeros)
-    B = jnp.concatenate(
-        [
-            jnp.concatenate([right, -res[:, None, :]], axis=1),
-            jnp.zeros((1, m2 + 1, nb), dt),
-        ],
-        axis=0,
-    )  # [br, m2+1, nb]
-
-    # per-lane Householder eliminating the left column below its pivot
-    x0 = a[0]
-    sigma = jnp.sum(a[1:] * a[1:], axis=0)
-    norm = jnp.sqrt(x0 * x0 + sigma)
-    sign = jnp.where(x0 >= 0, jnp.ones((), dt), -jnp.ones((), dt))
-    beta = -sign * norm
-    degen = sigma <= jnp.zeros((), dt)
-    denom = jnp.where(degen, jnp.ones((), dt), x0 - beta)
-    safe_beta = jnp.where(norm == 0, jnp.ones((), dt), beta)
-    tau = jnp.where(degen, jnp.zeros((), dt), (beta - x0) / safe_beta)
-    v = jnp.concatenate([jnp.ones((1, nb), dt), a[1:] / denom], axis=0)  # [br, nb]
-    r1 = jnp.where(degen, x0, beta)  # per-lane R₁ scalar
-
-    w = jnp.einsum("rn,rcn->cn", v, B)  # [m2+1, nb]
-    B = B - tau[None, None, :] * v[:, None, :] * w[None, :, :]
-
-    y1 = B[0, m2]  # [nb] — economy RHS
-    r12 = B[0, :m2]  # [m2, nb] — J2-top in lane-major form
-
-    # bottom panel: complement rows, lane-major [m2+1, bl*nb], plus the √λ·I₅
-    # damping tail as m2 extra lanes
-    comp = jnp.transpose(B[1:], (1, 0, 2)).reshape(m2 + 1, bl * nb)
-    tail = jnp.concatenate(
-        [sl * jnp.eye(m2, dtype=dt), jnp.zeros((1, m2), dt)], axis=0
-    )
-    Xy = jnp.concatenate([comp, tail], axis=1)  # [m2+1, bl*nb + m2]
-    x2 = _soa_tall_qr_solve(Xy[:m2], Xy[m2], m2)
-
-    # back substitution through the per-lane scalar R₁
-    rhs1 = y1 - jnp.einsum("cn,c->n", r12, x2)
-    x1 = rhs1 / r1
-    return jnp.concatenate([x1, x2])
+    """Single-column (bc = 1) lane-major damped LM step — thin wrapper over
+    :func:`lm_damped_step_blockdiag` returning the flat ``[nb + m2]`` delta the
+    LM drivers consume (one [nb]-row concat; no 128-lane re-padding since
+    x1 has a single row)."""
+    x1, x2 = lm_damped_step_blockdiag(left[:, None, :], right, res, lam)
+    return jnp.concatenate([x1[0], x2])

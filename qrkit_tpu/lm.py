@@ -82,6 +82,8 @@ def levenberg_marquardt(
     nu = 2.0
     converged = False
     it = 0
+    g = None  # Jᵀr at the CURRENT (x, r): cached across rejected steps
+    vjp_ok = True  # residual_fn may be host/NumPy code (not differentiable)
     for it in range(1, cfg.max_iters + 1):
         delta = damped_step_fn(x, r, lam)
         x_new = x + delta
@@ -89,9 +91,19 @@ def levenberg_marquardt(
         cost_new = float(0.5 * jnp.vdot(r_new, r_new).real)
         # Madsen–Nielsen gain ratio: predicted = 0.5 δᵀ(λδ − g), g = Jᵀr
         # (for the exact damped minimizer this equals the Gauss–Newton model
-        # reduction; g comes from one VJP of the residual function).
-        g = jax.vjp(residual_fn, x)[1](r)[0]
-        predicted = max(float(predicted_reduction(delta, g, lam)), 1e-300)
+        # reduction; g comes from one VJP of the residual function, computed
+        # only when (x, r) changed).  Non-traceable residual functions fall
+        # back to the damping-only model (over-estimates rho but acceptance
+        # is still guarded by the monotonic cost check).
+        if g is None and vjp_ok:
+            try:
+                g = jax.vjp(residual_fn, x)[1](r)[0]
+            except Exception:
+                vjp_ok = False
+        if g is not None:
+            predicted = max(float(predicted_reduction(delta, g, lam)), 1e-300)
+        else:
+            predicted = max(0.5 * lam * float(jnp.vdot(delta, delta).real), 1e-300)
         rho = (cost - cost_new) / predicted
 
         if cost_new < cost:
@@ -101,6 +113,7 @@ def levenberg_marquardt(
             )
             cost_red_small = (cost - cost_new) <= cfg.ftol * max(cost, 1e-300)
             x, r, cost = x_new, r_new, cost_new
+            g = None  # (x, r) changed: recompute the gradient next iteration
             lam = max(lam * max(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3), cfg.lambda_min)
             nu = 2.0
             if step_small or cost_red_small:

@@ -155,7 +155,9 @@ def panel_qr_yt(
     run-bound.
     """
     m, n = A.shape
-    if offset == 0 and n > _LAPACK_QR_MIN_WIDTH:
+    if offset == 0 and n > _LAPACK_QR_MIN_WIDTH and m >= n:
+        # portrait only: geqrf yields min(m, n) reflectors, so the landscape
+        # case must keep the recursive path (whose trapezoidal Y handles it).
         # fp32-TPU precision verified: Q orthogonality ~6e-7 for [2000, 200],
         # same as the recursive path (measure any on-device QᵀQ probe in fp64
         # on the host — an fp32 verification matmul itself runs at bf16 and

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import abc
 import enum
+import functools
 from typing import Optional
 
 import jax
@@ -33,12 +34,16 @@ class ComputationInfo(enum.Enum):
     NOT_COMPUTED = 3
 
 
-@jax.jit
-def _diag_health(d: jnp.ndarray) -> jnp.ndarray:
-    """One device scalar: R's leading diagonal is finite and nonzero."""
-    return jnp.logical_and(
-        jnp.all(jnp.isfinite(d)), jnp.min(jnp.abs(d), initial=jnp.inf) > 0
-    )
+@functools.partial(jax.jit, static_argnames=("check_zero",))
+def _diag_health(d: jnp.ndarray, check_zero: bool = True) -> jnp.ndarray:
+    """One device scalar: R's leading diagonal is finite (and, for
+    non-rank-revealing solvers, nonzero — a silent-NaN hazard there; a
+    ColPiv solver handles zero pivots first-class, so deficiency is reported
+    via rank(), not as a numerical issue, matching Eigen's info() contract)."""
+    ok = jnp.all(jnp.isfinite(d))
+    if check_zero:
+        ok = jnp.logical_and(ok, jnp.min(jnp.abs(d), initial=jnp.inf) > 0)
+    return ok
 
 
 class QRSolver(abc.ABC):
@@ -81,10 +86,16 @@ class QRSolver(abc.ABC):
                 self._info = ComputationInfo.NUMERICAL_ISSUE
         return self._info
 
+    # Rank-revealing (ColPiv) solvers override this to False: a zero pivot is
+    # a first-class, reported condition there, not a numerical issue.
+    _health_check_zero_pivot = True
+
     def _set_success(self):
         """End-of-compute hook: mark SUCCESS and launch the async health check."""
         self._info = ComputationInfo.SUCCESS
-        self._health = _diag_health(self.r_diagonal())
+        self._health = _diag_health(
+            self.r_diagonal(), check_zero=self._health_check_zero_pivot
+        )
 
     # --- factorization --------------------------------------------------------------
     @abc.abstractmethod

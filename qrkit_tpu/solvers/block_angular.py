@@ -49,6 +49,10 @@ class _RowSubsetQR(QRSolver):
         self.inner = inner
 
     @property
+    def _health_check_zero_pivot(self):
+        return self.inner._health_check_zero_pivot
+
+    @property
     def rows(self) -> int:
         return self._nbot
 
@@ -244,8 +248,9 @@ class BlockAngularQR(QRSolver):
         pair_b = (uniq // a2.ncols).astype(np.int64)
         pair_c = (uniq % a2.ncols).astype(np.int64)
 
-        # one batched per-pair Qᵀ·w on the device
-        QtW = jnp.einsum(
+        # one batched per-pair Qᵀ·w on the device (full-precision matmul —
+        # bf16 here would degrade R12 and every solve on this path to ~1e-3)
+        QtW = highest_precision(jnp.einsum)(
             "kij,ki->kj", left.Q[jnp.asarray(pair_b)], jnp.asarray(W)
         )  # [K, br]
 
@@ -279,6 +284,24 @@ class BlockAngularQR(QRSolver):
                 self.left.r_diagonal()[: self._m1],
                 self.right.r_diagonal()[: self._m2],
             ]
+        )
+
+    def _set_success(self):
+        """Composite health honors each child's own zero-pivot semantics
+        (a rank-revealing right solver's deficiency is not a numerical issue;
+        a non-pivoting left solver's zero pivot is)."""
+        from .base import _diag_health
+
+        self._info = ComputationInfo.SUCCESS
+        self._health = jnp.logical_and(
+            _diag_health(
+                self.left.r_diagonal()[: self._m1],
+                check_zero=self.left._health_check_zero_pivot,
+            ),
+            _diag_health(
+                self.right.r_diagonal()[: self._m2],
+                check_zero=self.right._health_check_zero_pivot,
+            ),
         )
 
     # --- implicit Q (BlockAngularSparseQR.h:532-649) --------------------------------

@@ -78,6 +78,8 @@ class BlockDiagonalQR(QRSolver):
     def __init__(self, q_format: QFormat = QFormat.FULL_Q, pivot: bool = True):
         self.q_format = q_format
         self.pivot = pivot
+        # per-block ColPiv is rank-revealing: deficiency reported via rank()
+        self._health_check_zero_pivot = not pivot
         self._computed = False
 
     # --- QRSolver shape -------------------------------------------------------------

@@ -123,10 +123,13 @@ class BlockedThinSparseQR(QRSolver):
     column pivoting (BlockedThinSparseQR.h:105-283).
 
     Panels are restricted to their sparsity row extent so factorization cost
-    tracks nnz structure, not the full height.  Assumes panels are full rank
-    (the reference's zero-pivot bookkeeping collapses to identity then);
-    ``rank()`` still reports a thresholded estimate from |diag(R)|.
+    tracks nnz structure, not the full height.  Zero-pivot columns are tracked
+    into a Householder column permutation (:150-159) with exact ``rank()``;
+    rank-deficient solves complete the decomposition (one small ColPiv QR of
+    R) and return the residual-optimal basic solution.
     """
+
+    _health_check_zero_pivot = False  # rank-revealing: deficiency reported via rank()
 
     def __init__(self, suggested_block_cols: int = 2):
         self.c = suggested_block_cols
@@ -217,32 +220,43 @@ class BlockedThinSparseQR(QRSolver):
         # zero-pivot column tracking (BlockedThinSparseQR.h:150-159, 251-256):
         # columns whose R pivot is numerically zero are recorded and pushed to
         # the back of the Householder column permutation; rank() is exact.
-        diag = np.abs(np.diag(np.asarray(self._R)[: self._n, : self._n]))
-        tol = (diag.max() if diag.size else 0.0) * max(self._m, self._n) * np.finfo(
-            np.float64
-        ).eps
-        live = diag > tol
-        self._rank = int(live.sum())
-        nnz_idx = np.nonzero(live)[0]
-        zero_idx = np.nonzero(~live)[0]
-        order = np.concatenate([nnz_idx, zero_idx])  # order[newpos] = workingpos
-        house_perm = np.empty(self._n, dtype=np.int64)
-        house_perm[order] = np.arange(self._n)
-        self._house_col_perm = Permutation(house_perm)
+        # The diagonal stays on the device — the bookkeeping host fetch is
+        # LAZY (first rank()/house perm/solve access), so factorize itself
+        # never blocks on a device round trip.
+        self._diag_dev = jnp.diagonal(self._R[: self._n, : self._n])
+        self._deficiency_cache = None
         self._repair = None  # lazy COD factors for rank-deficient solves
 
         self._set_success()
         return self
 
+    def _deficiency(self):
+        """(exact rank, house column permutation) — fetched/derived once."""
+        if self._deficiency_cache is None:
+            diag = np.abs(np.asarray(self._diag_dev))
+            tol = (diag.max() if diag.size else 0.0) * max(self._m, self._n) * np.finfo(
+                np.float64
+            ).eps
+            live = diag > tol
+            rank = int(live.sum())
+            order = np.concatenate(
+                [np.nonzero(live)[0], np.nonzero(~live)[0]]
+            )  # order[newpos] = workingpos
+            house_perm = np.empty(self._n, dtype=np.int64)
+            house_perm[order] = np.arange(self._n)
+            self._deficiency_cache = (rank, Permutation(house_perm))
+        return self._deficiency_cache
+
     def house_cols_permutation(self) -> Permutation:
         """Permutation pushing zero-pivot columns (in pivoted working order) to
         the back — the reference's m_houseColPerm (BlockedThinSparseQR.h:150-159)."""
-        return self._house_col_perm
+        return self._deficiency()[1]
 
     def deficient_cols(self) -> np.ndarray:
         """Original column indices of the zero-pivot columns."""
-        inv = self._house_col_perm.inverse().indices  # newpos -> workingpos
-        return np.asarray(self._out_col_perm.indices)[inv[self._rank :]]
+        rank, house = self._deficiency()
+        inv = house.inverse().indices  # newpos -> workingpos
+        return np.asarray(self._out_col_perm.indices)[inv[rank:]]
 
     def apply_q(self, m: jnp.ndarray) -> jnp.ndarray:
         return self.q_seq.apply_q(m)
@@ -256,7 +270,7 @@ class BlockedThinSparseQR(QRSolver):
     def solve_r(self, y: jnp.ndarray) -> jnp.ndarray:
         n = self._n
         R = self._R[:n, :n]
-        if self._rank == n:
+        if self._deficiency()[0] == n:
             return jax.lax.linalg.triangular_solve(
                 R, y[:n, None], left_side=True, lower=False
             )[:, 0]
@@ -282,5 +296,5 @@ class BlockedThinSparseQR(QRSolver):
 
     @property
     def rank(self) -> int:
-        """Exact numerical rank (counted during compute from the R pivots)."""
-        return self._rank
+        """Exact numerical rank (from the R pivots; fetched lazily)."""
+        return self._deficiency()[0]

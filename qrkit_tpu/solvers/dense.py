@@ -83,6 +83,8 @@ class DenseHouseholderQR(_DenseQRBase):
 class DenseColPivQR(_DenseQRBase):
     """Column-pivoted dense QR (Eigen::ColPivHouseholderQR analog)."""
 
+    _health_check_zero_pivot = False  # rank-revealing: deficiency reported via rank()
+
     def compute(self, mat) -> "DenseColPivQR":
         a = self._coerce(mat)
         self._m, self._n = map(int, a.shape)

@@ -122,6 +122,7 @@ class SegmentedBandedQR(QRSolver):
         """Segmented analysis; on a non-segmentable plan either delegates to a
         plain :class:`BandedBlockedQR` (``fallback=True``) or raises."""
         self._delegate = None
+        self.plan = None
         try:
             return self._analyze_pattern_segmented(mat)
         except ValueError:
@@ -132,7 +133,13 @@ class SegmentedBandedQR(QRSolver):
             self._delegate = BandedBlockedQR(
                 self._brows, self._bcols, self._boverlap, self._suggested
             )
-            self._delegate.analyze_pattern(mat)
+            if self.plan is not None:
+                # segmentation failed AFTER pattern analysis succeeded: hand
+                # the plan/row-perm over instead of re-running the O(nnz)
+                # ordering + block detection in the delegate
+                self._delegate.set_analysis(self.plan, self._row_perm)
+            else:
+                self._delegate.analyze_pattern(mat)
             self._nrows, self._ncols = mat.shape
             self._analysis_ok = True
             return self

@@ -203,3 +203,16 @@ def test_panel_qr_yt_lapack_wide(rng):
     Q = np.asarray(form_q(Y, T))
     assert np.allclose(Q.T @ Q, np.eye(m), atol=1e-10)
     assert np.allclose(Q[:, :n] @ np.triu(np.asarray(R)[:n]), np.asarray(A), atol=1e-9)
+
+
+def test_panel_qr_yt_landscape_wide(rng):
+    """Landscape (m < n) wide panels must keep the recursive path (geqrf has
+    only min(m, n) reflectors) — regression guard for the lapack dispatch."""
+    from qrkit_tpu.ops.householder import form_q, panel_qr_yt
+
+    m, n = 20, 50
+    A = jnp.asarray(rng.normal(size=(m, n)))
+    Y, T, R = panel_qr_yt(A)
+    Q = np.asarray(form_q(Y, T))
+    assert np.allclose(Q.T @ Q, np.eye(m), atol=1e-10)
+    assert np.allclose(Q @ np.triu(np.asarray(R)), np.asarray(A), atol=1e-9)

@@ -37,6 +37,10 @@ def test_dense_colpiv_rank_deficient(rng):
     b = rng.normal(size=20)
     qr = DenseColPivQR().compute(jnp.asarray(A))
     assert qr.rank == 4
+    # rank deficiency is a reported condition for a rank-revealing solver,
+    # NOT a numerical issue (Eigen's info() contract)
+    from qrkit_tpu.solvers import ComputationInfo
+    assert qr.info() == ComputationInfo.SUCCESS
     x = qr.solve(jnp.asarray(b))
     assert np.isfinite(np.asarray(x)).all()
     assert _residual(A, x, b) <= _optimal_residual(A, b) * (1 + 1e-8)
@@ -49,6 +53,8 @@ def test_block_diagonal_pivot_rank_deficient(rng):
     blocks[4, :, :] = 0.0                  # entirely zero block
     blk = BlockDiagonal.from_dense_batch(blocks)
     qr = BlockDiagonalQR(QFormat.FULL_Q, pivot=True).compute(blk)
+    from qrkit_tpu.solvers import ComputationInfo
+    assert qr.info() == ComputationInfo.SUCCESS
     assert qr.rank == nb * bc - 1 - bc
     A = blk.to_dense()
     b = rng.normal(size=nb * br)
@@ -70,6 +76,8 @@ def test_blocked_thin_sparse_rank_deficient(rng):
         SparseCSR.from_dense(A)
     )
     assert qr.rank == 6
+    from qrkit_tpu.solvers import ComputationInfo
+    assert qr.info() == ComputationInfo.SUCCESS
     # deficient columns identified and pushed to the back of the house perm
     dead = set(int(c) for c in qr.deficient_cols())
     assert len(dead) == 2
