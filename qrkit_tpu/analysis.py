@@ -196,9 +196,26 @@ def from_block_banded_pattern(
     block_overlap: int,
     suggested_block_cols: int = 2,
 ) -> StructurePlan:
-    """Known block-banded structure with fixed overlap (SparseQRUtils.h:274-302)."""
+    """Known block-banded structure with fixed overlap (SparseQRUtils.h:274-302).
+
+    The pattern tiles the matrix: ``ncols`` must equal
+    ``num_blocks * (block_cols - block_overlap)`` (the last matrix block
+    carries no trailing overlap, matching the reference) and the matrix must
+    have at least ``num_blocks * block_rows`` rows (trailing rows beyond the
+    tiled region must be structurally zero — Q acts as identity on them).  The
+    reference silently mis-factorizes on non-tiling inputs; here that contract
+    violation raises — use pattern analysis (omit the static block
+    parameters) for irregular shapes.
+    """
     max_col_step = block_cols - block_overlap
     num_blocks = ncols // max_col_step
+    if ncols % max_col_step != 0 or nrows < num_blocks * block_rows:
+        raise ValueError(
+            f"static block-banded pattern does not tile a {nrows}x{ncols} "
+            f"matrix: need ncols divisible by block_cols-block_overlap="
+            f"{max_col_step} and nrows >= num_blocks*block_rows "
+            f"({num_blocks}*{block_rows}); run pattern analysis instead"
+        )
     blocks = []
     for i in range(num_blocks):
         nc = block_cols if i < num_blocks - 1 else block_cols - block_overlap

@@ -54,9 +54,24 @@ def banded_geometry(plan: StructurePlan):
         overlap = (cols_[i] + ncols_[i]) - cols_[i + 1]
         ci = ncols_[i] - overlap
         col_inc[i] = ci
-        carry_rows[i + 1] = nrows_[i] - ci
-        active[i + 1] = nrows_[i] + nrows_[i + 1] - ci
-        nz = (rows_[i + 1] + nrows_[i + 1]) - active[i + 1] - cols_[i + 1]
+        # The carry pad serves two roles: it holds the live unsolved R rows of
+        # block i (at most min(active, ncols) - ci — R beyond ncols rows is
+        # structurally zero, BandedBlockedSparseQR.h:494-507 stacks R's
+        # remaining rows), and it reserves window space so the panel's top
+        # ncols rows (where the next R accumulates) map contiguously onto the
+        # R positions cols[i+1].. of the work vector.  ncols[i+1] rows suffice
+        # for the latter; when the physical block starts closer than that
+        # (rows-cols gap < ncols) the window is contiguous anyway (nz = 0) and
+        # the pad shrinks to the gap.  This bounds the scan-step panel at
+        # [nrows + ncols, ncols] instead of the previous [nrows + carry, ncols]
+        # with carry = nrows[i] - ci (e.g. 31x10 instead of 36x10 on a
+        # 21-row/10-col/overlap-4 chain; 488x8 instead of 956x8 on the
+        # segmented solver's boundary chain).
+        live = max(min(active[i], ncols_[i]) - ci, 0)
+        gapcap = rows_[i + 1] - cols_[i + 1]
+        carry_rows[i + 1] = max(live, min(ncols_[i + 1], gapcap))
+        active[i + 1] = carry_rows[i + 1] + nrows_[i + 1]
+        nz = rows_[i + 1] - carry_rows[i + 1] - cols_[i + 1]
         num_zeros[i + 1] = max(nz, 0)
     solved = np.asarray(plan.solved_rows(), dtype=np.int64)
     emit_rows = np.minimum(solved, ncols_)
@@ -84,6 +99,7 @@ def _banded_factorize_chunk(
     col_inc: jnp.ndarray,  # [L]
     num_zeros: jnp.ndarray,  # [L]
     ncols_a: jnp.ndarray,  # [L]
+    carry_arr: jnp.ndarray,  # [L] carry rows of each step (gap insertion point)
     active: jnp.ndarray,  # [L] bool — padded tail steps pass the carry through
     *,
     max_active: int,
@@ -108,7 +124,7 @@ def _banded_factorize_chunk(
 
     def body(carry, xs):
         C = carry
-        panel_s, ci, nz, nc, act = xs
+        panel_s, ci, nz, nc, cr, act = xs
 
         Ji = panel_s.at[:max_carry].add(C)
         Y, T, V = panel_qr_yt(Ji)
@@ -117,6 +133,11 @@ def _banded_factorize_chunk(
         if max_zeros == 0:
             Yw = Y
         else:
+            # panel rows [0, nc) are the R-space rows of the work vector
+            # (contiguous at cols[i]); the numZeros gap sits between them and
+            # the block's physical rows, so it is inserted at nc — the carry
+            # pad is sized (banded_geometry) so rows [cr, nc) of the panel are
+            # either structurally zero or already physically contiguous
             wsrc = jnp.where(w_iota < nc, w_iota, w_iota - nz)
             wvalid = ((w_iota < nc) | (w_iota >= nc + nz)) & (wsrc < max_active)
             Yw = jnp.where(
@@ -135,7 +156,7 @@ def _banded_factorize_chunk(
         Vout = jnp.where(act, V[:max_emit], zero)
         return Cn, (Yw, T, Vout)
 
-    xs = (shifted, col_inc, num_zeros, ncols_a, active)
+    xs = (shifted, col_inc, num_zeros, ncols_a, carry_arr, active)
     return jax.lax.scan(body, C0, xs)
 
 
@@ -183,7 +204,7 @@ def banded_factorize(
     if nb <= _CHUNK + _CHUNK // 2:
         active = jnp.ones((nb,), bool)
         _, (Yws, Ts, Vs) = _banded_factorize_chunk(
-            C, shifted, col_inc, num_zeros, ncols_a, active, **kw
+            C, shifted, col_inc, num_zeros, ncols_a, carry_rows, active, **kw
         )
     else:
         pad = (-nb) % _CHUNK
@@ -193,6 +214,7 @@ def banded_factorize(
             )
         shifted_p = padded(shifted)
         ci_p, nz_p, nc_p = padded(col_inc), padded(num_zeros), padded(ncols_a)
+        cr_p = padded(carry_rows)
         act_p = jnp.concatenate([jnp.ones((nb,), bool), jnp.zeros((pad,), bool)])
         ys = []
         for k in range(0, nb + pad, _CHUNK):
@@ -202,6 +224,7 @@ def banded_factorize(
                 ci_p[k : k + _CHUNK],
                 nz_p[k : k + _CHUNK],
                 nc_p[k : k + _CHUNK],
+                cr_p[k : k + _CHUNK],
                 act_p[k : k + _CHUNK],
                 **kw,
             )

@@ -51,12 +51,12 @@ __all__ = ["SegmentedBandedQR"]
     jax.jit,
     static_argnames=("max_active", "max_cols", "max_carry", "max_zeros", "max_emit"),
 )
-def _vmapped_chain(C0, shifted, col_inc, num_zeros, ncols_a, active, **kw):
+def _vmapped_chain(C0, shifted, col_inc, num_zeros, ncols_a, carry_arr, active, **kw):
     """vmap of the banded scan chunk over the segment axis."""
-    f = lambda c, s, ci, nz, nc, a: _banded_factorize_chunk(
-        c, s, ci, nz, nc, a, **kw
+    f = lambda c, s, ci, nz, nc, cr, a: _banded_factorize_chunk(
+        c, s, ci, nz, nc, cr, a, **kw
     )
-    return jax.vmap(f)(C0, shifted, col_inc, num_zeros, ncols_a, active)
+    return jax.vmap(f)(C0, shifted, col_inc, num_zeros, ncols_a, carry_arr, active)
 
 
 @functools.partial(jax.jit, static_argnames=("transpose", "vec"))
@@ -310,6 +310,7 @@ class SegmentedBandedQR(QRSolver):
         # device-resident static metadata (transferred once per plan)
         self._starts = jnp.asarray(loc_geom["cols"], dtype=jnp.int32)
         self._carry_d = jnp.asarray(loc_geom["carry_rows"].reshape(-1), dtype=jnp.int32)
+        self._carry2d = jnp.asarray(loc_geom["carry_rows"], dtype=jnp.int32)
         self._nrows_d = jnp.asarray(loc_geom["nrows"].reshape(-1), dtype=jnp.int32)
         self._colinc_d = jnp.asarray(loc_geom["col_inc"], dtype=jnp.int32)
         self._nzeros_d = jnp.asarray(loc_geom["num_zeros"], dtype=jnp.int32)
@@ -372,6 +373,7 @@ class SegmentedBandedQR(QRSolver):
             self._colinc_d,
             self._nzeros_d,
             self._ncols_d,
+            self._carry2d,
             self._active_d,
             **self._kw,
         )

@@ -129,3 +129,30 @@ def test_banded_chunked_path(rng, monkeypatch):
     b = qr.rows_permutation().apply(dense @ x_true)
     x = np.asarray(qr.solve(jnp.asarray(b)))
     assert np.allclose(x, x_true, atol=1e-7)
+
+
+def test_static_pattern_must_tile():
+    """A static pattern that does not cover the matrix columns raises instead
+    of silently mis-factorizing (the reference's fromBlockBandedPattern,
+    SparseQRUtils.h:274-302, assumes tiling and fails silently)."""
+    from qrkit_tpu.analysis import from_block_banded_pattern
+
+    # 28 columns is not divisible by the column step 6
+    with pytest.raises(ValueError, match="does not tile"):
+        from_block_banded_pattern(84, 28, 21, 10, 4)
+    # too few rows for the tiled blocks
+    with pytest.raises(ValueError, match="does not tile"):
+        from_block_banded_pattern(50, 24, 21, 10, 4)
+    # exact tiling and a trailing zero-row tail are both fine
+    from_block_banded_pattern(84, 24, 21, 10, 4)
+    from_block_banded_pattern(90, 24, 21, 10, 4)
+
+
+def test_carry_pad_bounded_by_block_cols(rng):
+    """banded_geometry carries only R's unsolved rows plus the window
+    reservation — max_carry is bounded by the block width, not the block
+    height (keeps the scan-step panel at [nrows+ncols, ncols])."""
+    spj = overlapping_block_diagonal_matrix(NUM_PARAMS, NUM_RESIDUALS, rng)
+    qr = _check_banded(spj, rng, suggested=8)
+    assert qr._max_carry <= qr._max_cols
+    assert qr._max_active <= qr._mR + qr._max_cols
