@@ -20,13 +20,22 @@ columns.  Then the standard block-angular algorithm applies
 
 1. QR of ``A_I``   — S independent banded chains, run as ONE ``vmap`` over the
    segment axis: sequential latency drops from nb steps to L steps.
-2. ``J2 = Q1ᵀ A_B`` — batched implicit-Q product.
-3. QR of the lower rows of J2 — one tall-skinny dense panel QR (width = total
-   boundary columns ≈ S·o).
-4. R assembly / permutation composition / two-phase solve.
+2. ``J2 = Q1ᵀ A_B`` — batched implicit-Q product.  A_B is *structured*: a
+   segment's rows touch only its own two adjacent boundary-column groups
+   (≤ 2·o columns), so A_B is stored and transformed as per-segment
+   ``[rows, 2o]`` slabs, never as a dense ``[m, S·o]`` operand.
+3. QR of the lower rows of J2.  Those rows inherit the slab structure —
+   segment s's bottom rows live in boundary columns ``[(s-1)o, (s+1)o)`` —
+   so stacked over segments they form ANOTHER banded-blocked matrix: a chain
+   of S blocks of ``[rows_bot, 2o]`` stepping o columns.  Phase 3 is therefore
+   a recursive (tiny) :func:`banded_factorize` chain instead of one
+   ``[m-m1, S·o]`` dense QR — S sequential steps on ``[rows_bot + 2o, 2o]``
+   panels.
+4. R assembly / permutation composition / two-phase solve (the boundary
+   back-substitution is :func:`banded_solve_r` on the chain's R panels).
 
 The same decomposition is the multi-chip distribution of the banded family:
-shard the segment axis; only step 3 reduces across chips.
+shard the segment axis; only the (tiny) boundary chain crosses segments.
 """
 from __future__ import annotations
 
@@ -39,7 +48,7 @@ import numpy as np
 
 from ..analysis import as_banded_as_possible, block_banded_info, from_block_banded_pattern
 from ..ops.compact_wy import CompactWYSeq
-from ..ops.householder import apply_wy, highest_precision
+from ..ops.householder import highest_precision
 from ..sparse import Permutation, SparseCSR
 from .banded_blocked import _banded_factorize_chunk, _banded_solve_chunk, banded_geometry
 from .base import ComputationInfo, QRSolver
@@ -176,7 +185,7 @@ class SegmentedBandedQR(QRSolver):
             raise ValueError("overlap exceeds column step; use BandedBlockedQR")
         self.geom = g
         # invalidate lazy per-plan caches before rebuilding
-        for attr in ("_seg_gather", "_col_gather"):
+        for attr in ("_seg_gather", "_col_gather", "_fac_fn", "_solve_fn"):
             if hasattr(self, attr):
                 delattr(self, attr)
         self._prepare_segmentation()
@@ -324,6 +333,64 @@ class SegmentedBandedQR(QRSolver):
             np.concatenate([self._icols_idx, self._bcols_idx])
         )
 
+        # --- boundary chain (phase-3 structure) -------------------------------------
+        # Segment s's bottom rows are nonzero only in boundary columns
+        # [(s-1)o, (s+1)o); stacked in segment order they form a banded chain
+        # of S blocks stepping o columns.  Block 0 (trailing boundary only)
+        # and block S-1 (leading only) are o wide; interior blocks 2o.
+        nloc_max = max(self._seg_ncols)
+        self._nloc_max = nloc_max
+        rbot = [self._seg_rows[si] - self._seg_ncols[si] for si in range(S)]
+        if min(rbot) < 2 * o:
+            raise ValueError(
+                "segment bottom rows too few for the boundary chain; use BandedBlockedQR"
+            )
+        self._rbot = rbot
+        rbot_max = max(rbot)
+        cum = np.concatenate([[0], np.cumsum(rbot)])
+        self._nbot = int(cum[-1])
+        chain_blocks = []
+        for si in range(S):
+            c0b = max(0, si - 1) * o
+            ncb = min(2 * o, self._m2 - c0b) if 0 < si < S - 1 else o
+            chain_blocks.append(_BI(int(cum[si]), int(c0b), int(rbot[si]), int(ncb)))
+        chain_plan = _SP(self._nbot, self._m2, tuple(chain_blocks))
+        cg = banded_geometry(chain_plan)
+        self._chain_geom = cg
+        self._chain_geom_dev = {
+            k: jnp.asarray(cg[k])
+            for k in ("carry_rows", "col_inc", "num_zeros", "ncols", "nrows", "cols")
+        }
+        self._chain_kw = dict(
+            max_active=int(cg["active"].max()),
+            max_cols=int(cg["ncols"].max()),
+            max_carry=max(int(cg["carry_rows"].max()), 1),
+            max_zeros=int(cg["num_zeros"].max()),
+            max_emit=int(cg["emit_rows"].max()),
+        )
+        self._chain_solve_meta = (
+            jnp.asarray(cg["cols"]),
+            jnp.asarray(cg["emit_rows"]),
+            jnp.asarray(cg["ncols"]),
+        )
+
+        # device gather maps between padded segment rows and the chain layout
+        seg_ncols_a = np.asarray(self._seg_ncols)
+        self._top_valid = jnp.asarray(
+            np.arange(nloc_max)[None, :] < seg_ncols_a[:, None]
+        )
+        bot_idx = seg_ncols_a[:, None] + np.arange(rbot_max)[None, :]
+        self._bot_idx = jnp.asarray(np.minimum(bot_idx, max_seg_rows - 1))
+        self._bot_valid = jnp.asarray(
+            np.arange(rbot_max)[None, :] < np.asarray(rbot)[:, None]
+        )
+        # x2 window per segment: x2seg[s, j] = x2[(s-1)o + j] (zero out of range)
+        self._x2_idx = jnp.asarray(
+            np.arange(S)[:, None] * o + np.arange(2 * o)[None, :]
+        )
+        self._seg_row0_arr = np.asarray(self._seg_row0)
+        self._slab_map = None  # built on first factorize, reused per plan
+
     def compute(self, mat: SparseCSR, force_pattern_analysis: bool = False):
         if not self._analysis_ok or force_pattern_analysis:
             self.analyze_pattern(mat)
@@ -343,56 +410,97 @@ class SegmentedBandedQR(QRSolver):
             S, L, mR, max_cols
         )
 
-        # boundary block A_B (dense [m, m2]) — one O(nnz) vectorized gather
-        # (per-column panel extraction scanned every row per boundary column:
-        # O(m·m2) host time that dominated repeated factorizes)
-        if self._m2:
+        # boundary slabs A_B as [S, seg_rows(pad), 2o] — O(nnz) gather into the
+        # structured form (a segment's rows touch only its leading/trailing
+        # boundary group); the index map is pattern-only and cached per plan
+        o = self._overlap
+        if self._slab_map is None:
             col_pos = np.full(self._ncols, -1, dtype=np.int64)
             col_pos[self._bcols_idx] = np.arange(self._m2)
             row_ids = np.repeat(np.arange(self._nrows), np.diff(pmat.indptr))
-            cp = col_pos[pmat.indices]
-            sel = cp >= 0
-            a_b = np.zeros((self._nrows, self._m2))
-            a_b[row_ids[sel], cp[sel]] = pmat.data[sel]
-        else:
-            a_b = np.zeros((self._nrows, 0))
+            bp = col_pos[pmat.indices]
+            sel = bp >= 0
+            r_s = row_ids[sel]
+            b_s = bp[sel]
+            seg_of = np.searchsorted(self._seg_row0_arr, r_s, side="right") - 1
+            seam = b_s // o + 1  # boundary group g sits between segments g and g+1
+            lead = seg_of == seam
+            ok = lead | (seg_of == seam - 1)  # non-adjacent rows cannot occur
+            slabcol = np.where(lead, b_s % o, o + b_s % o)
+            self._slab_map = (
+                sel,
+                seg_of[ok],
+                (r_s - self._seg_row0_arr[seg_of])[ok],
+                slabcol[ok],
+                ok,
+            )
+        sel, seg_ok, lr_ok, sc_ok, ok = self._slab_map
+        slab = np.zeros((S, self._max_seg_rows, 2 * o))
+        slab[seg_ok, lr_ok, sc_ok] = pmat.data[sel][ok]
 
-        # --- device phase 1: vmapped segment chains --------------------------------
-        dtype = jnp.float32 if not jax.config.jax_enable_x64 else jnp.float64
-        from .banded_blocked import _shift_panels
-
-        pj = jnp.asarray(panels.reshape(S * L, mR, max_cols), dtype=dtype)
-        shifted = _shift_panels(
-            pj, self._carry_d, self._nrows_d, self._kw["max_active"]
-        ).reshape(S, L, self._kw["max_active"], max_cols)
-
-        C0 = jnp.zeros((S, self._kw["max_carry"], max_cols), dtype)
-        Cout, (Yws, Ts, Vs) = _vmapped_chain(
-            C0,
-            shifted,
-            self._colinc_d,
-            self._nzeros_d,
-            self._ncols_d,
-            self._carry2d,
-            self._active_d,
-            **self._kw,
+        # --- device phases 1-3 as ONE jitted dispatch -------------------------------
+        # eager glue between the jitted stages cost ~40 per-primitive dispatch
+        # round trips through the accelerator tunnel per factorize; the whole
+        # pipeline is fused into one per-plan compiled program instead
+        dtype = np.float32 if not jax.config.jax_enable_x64 else np.float64
+        fac = self._get_factorize_fn()
+        (self._Yws, self._Ts, self._r_panels, self._j2_top,
+         self._chain_seq, self._chain_r) = fac(
+            jnp.asarray(np.asarray(panels.reshape(S * L, mR, max_cols), dtype)),
+            jnp.asarray(np.asarray(slab, dtype)),
         )
-        # per-segment implicit Q: windows anchored at local column offsets
-        self._Yws, self._Ts = Yws, Ts
-        self._r_panels = Vs  # [S, L, max_emit, max_cols]
-
-        # --- phase 2: Q1ᵀ A_B, thin QR of its lower rows ---------------------------
-        ab = jnp.asarray(a_b, dtype=dtype)
-        j2 = self._apply_left_qt(ab)
-        self._j2_top = j2[: self._m1]
-        j2_bot = j2[self._m1 :]
-        from .dense import _dense_qr
-
-        self._Y2, self._T2, R2 = _dense_qr(j2_bot)
-        self._R2 = jnp.triu(R2)[: self._m2]
 
         self._set_success()
         return self
+
+    def _get_factorize_fn(self):
+        """Per-plan jitted device pipeline: vmapped segment chains → slab Qᵀ →
+        boundary chain.  Plan metadata (device-resident index/geometry arrays)
+        is closed over — constant across the repeated factorizations of one
+        structure (the LM pattern), so this compiles once per plan."""
+        if getattr(self, "_fac_fn", None) is not None:
+            return self._fac_fn
+        from .banded_blocked import _shift_panels, banded_factorize
+
+        S, L, o = self.S, self.L, self._overlap
+        max_cols, kw, ckw = self._max_cols, dict(self._kw), dict(self._chain_kw)
+        carry_d, nrows_d, starts = self._carry_d, self._nrows_d, self._starts
+        colinc_d, nzeros_d, ncols_d = self._colinc_d, self._nzeros_d, self._ncols_d
+        carry2d, active_d = self._carry2d, self._active_d
+        top_valid, bot_idx, bot_valid = self._top_valid, self._bot_idx, self._bot_valid
+        chain_geom, nbot = self._chain_geom_dev, self._nbot
+        nloc_max = self._nloc_max
+
+        @jax.jit
+        def fac(pj, slab):
+            dtype = pj.dtype
+            shifted = _shift_panels(pj, carry_d, nrows_d, kw["max_active"]).reshape(
+                S, L, kw["max_active"], max_cols
+            )
+            C0 = jnp.zeros((S, kw["max_carry"], max_cols), dtype)
+            _, (Yws, Ts, Vs) = _vmapped_chain(
+                C0, shifted, colinc_d, nzeros_d, ncols_d, carry2d, active_d, **kw
+            )
+            j2slab = _segment_apply(Yws, Ts, starts, slab, True, False)
+            j2_top = jnp.where(
+                top_valid[:, :, None], j2slab[:, :nloc_max], jnp.zeros((), dtype)
+            )
+            bot = jnp.take_along_axis(
+                j2slab,
+                jnp.broadcast_to(bot_idx[:, :, None], bot_idx.shape + (2 * o,)),
+                axis=1,
+            )
+            bot = jnp.where(bot_valid[:, :, None], bot, jnp.zeros((), dtype))
+            # chain block 0 has no leading boundary: its local columns are the
+            # trailing slab columns (the wrapped leading part is zero)
+            bot = bot.at[0].set(jnp.roll(bot[0], -o, axis=-1))
+            chain_seq, chain_r = banded_factorize(
+                bot[..., : ckw["max_cols"]], chain_geom, **ckw, m=nbot
+            )
+            return Yws, Ts, Vs, j2_top, chain_seq, chain_r
+
+        self._fac_fn = fac
+        return fac
 
     def r_diagonal(self) -> jnp.ndarray:
         if self._delegate is not None:
@@ -412,9 +520,13 @@ class SegmentedBandedQR(QRSolver):
         n = self.cols
         idx = jnp.where(valid, pos, n)
         out = jnp.zeros((n,), d.dtype).at[idx].set(d, mode="drop")
-        if self._m2:
-            d2 = jnp.diagonal(self._R2)[: self._m2]
-            out = out.at[self._m1 + jnp.arange(self._m2)].set(d2)
+        # boundary diag from the chain's R panels
+        cols_d, emit_d, _ = self._chain_solve_meta
+        d2 = jnp.diagonal(self._chain_r, axis1=1, axis2=2)  # [S, k2]
+        j2i = jnp.arange(d2.shape[1])
+        pos2 = self._m1 + cols_d[:, None] + j2i[None, :]
+        valid2 = j2i[None, :] < emit_d[:, None]
+        out = out.at[jnp.where(valid2, pos2, n)].set(d2, mode="drop")
         return out
 
     # --- left (segment) Q ------------------------------------------------------
@@ -488,7 +600,7 @@ class SegmentedBandedQR(QRSolver):
         vec = m.ndim == 1
         m2 = m[:, None] if vec else m
         top = self._apply_left_qt(m2)
-        bottom = apply_wy(self._Y2, self._T2, top[self._m1 :], transpose=True)
+        bottom = self._chain_seq.apply_qt(top[self._m1 :])
         out = jnp.concatenate([top[: self._m1], bottom], axis=0)
         return out[:, 0] if vec else out
 
@@ -497,7 +609,7 @@ class SegmentedBandedQR(QRSolver):
             return self._delegate.apply_q(m)
         vec = m.ndim == 1
         m2 = m[:, None] if vec else m
-        bottom = apply_wy(self._Y2, self._T2, m2[self._m1 :])
+        bottom = self._chain_seq.apply_q(m2[self._m1 :])
         full = jnp.concatenate([m2[: self._m1], bottom], axis=0)
         out = self._apply_left_q(full)
         return out[:, 0] if vec else out
@@ -505,16 +617,32 @@ class SegmentedBandedQR(QRSolver):
     def solve_r(self, y: jnp.ndarray) -> jnp.ndarray:
         if self._delegate is not None:
             return self._delegate.solve_r(y)
-        """Two-phase back-substitution: boundary columns, then vmapped interior."""
+        """Two-phase back-substitution: boundary chain, then vmapped interior."""
         m1, m2 = self._m1, self._m2
-        x2 = jax.lax.linalg.triangular_solve(
-            self._R2, y[m1 : m1 + m2, None], left_side=True, lower=False
-        )[:, 0]
-        rhs1 = y[:m1] - self._j2_top @ x2
+        o = self._overlap
+        from .banded_blocked import banded_solve_r
+
+        cols_d, emit_d, ncols_d = self._chain_solve_meta
+        x2 = banded_solve_r(
+            self._chain_r,
+            cols_d,
+            emit_d,
+            ncols_d,
+            y[m1 : m1 + m2],
+            max_emit=self._chain_kw["max_emit"],
+            max_cols=self._chain_kw["max_cols"],
+            n=m2,
+        )
+        # rhs1 = y[:m1] - J2_top x2, via the structured [S, nloc, 2o] slabs
+        x2pad = jnp.concatenate(
+            [jnp.zeros((o,), x2.dtype), x2, jnp.zeros((o,), x2.dtype)]
+        )
+        x2seg = x2pad[self._x2_idx]  # [S, 2o]
+        contrib = highest_precision(jnp.einsum)("snj,sj->sn", self._j2_top, x2seg)
         # vmapped per-segment banded back-substitution
         S, L = self.S, self.L
-        nloc_max = max(self._seg_ncols)
-        dt = rhs1.dtype
+        nloc_max = self._nloc_max
+        dt = x2.dtype
         mc = self._max_cols
         if not hasattr(self, "_col_gather"):
             cg = np.zeros((S, nloc_max + mc), dtype=np.int64)
@@ -525,6 +653,10 @@ class SegmentedBandedQR(QRSolver):
                 cv[s, :n] = True
             self._col_gather = jnp.asarray(cg)
             self._col_valid = jnp.asarray(cv)
+        idx_top = jnp.where(
+            self._col_valid[:, :nloc_max], self._col_gather[:, :nloc_max], m1
+        )
+        rhs1 = y[:m1] - jnp.zeros((m1,), dt).at[idx_top].add(contrib, mode="drop")
         ypad = jnp.where(self._col_valid, rhs1[self._col_gather], jnp.zeros((), dt))
         xpad0 = jnp.zeros_like(ypad)
 
@@ -547,13 +679,106 @@ class SegmentedBandedQR(QRSolver):
         x1 = jnp.zeros((m1,), dt).at[idx].set(xs, mode="drop")
         return jnp.concatenate([x1, x2])
 
+    def solve(self, b: jnp.ndarray) -> jnp.ndarray:
+        """Least-squares solve as ONE compiled dispatch (the protocol-default
+        apply_qt → solve_r → back-permutation path issues ~15 eager primitive
+        dispatches; through a remote-accelerator tunnel each costs a round
+        trip)."""
+        if self._delegate is not None:
+            return self._delegate.solve(b)
+        return self._get_solve_fn()(
+            self._Yws, self._Ts, self._chain_seq, self._chain_r,
+            self._j2_top, self._r_panels, b,
+        )
+
+    def _get_solve_fn(self):
+        if getattr(self, "_solve_fn", None) is not None:
+            return self._solve_fn
+        from .banded_blocked import banded_solve_r
+
+        self._gather_maps()
+        if not hasattr(self, "_col_gather"):
+            # force the lazy per-plan solve maps (shared with solve_r)
+            nloc_max, mc = self._nloc_max, self._max_cols
+            cg = np.zeros((self.S, nloc_max + mc), dtype=np.int64)
+            cv = np.zeros((self.S, nloc_max + mc), dtype=bool)
+            for s in range(self.S):
+                n = self._seg_ncols[s]
+                cg[s, :n] = self._seg_col0[s] + np.arange(n)
+                cv[s, :n] = True
+            self._col_gather = jnp.asarray(cg)
+            self._col_valid = jnp.asarray(cv)
+
+        m1, m2, o = self._m1, self._m2, self._overlap
+        S, mc, nloc_max = self.S, self._max_cols, self._nloc_max
+        starts, ckw = self._starts, dict(self._chain_kw)
+        cols_d, emit_d, ncols_d = self._chain_solve_meta
+        seg_gather, seg_valid = self._seg_gather, self._seg_valid
+        row_order = self._row_order
+        x2_idx, col_gather, col_valid = self._x2_idx, self._col_gather, self._col_valid
+        ncols_loc_d, active_d, emit2d = self._ncols_d, self._active_d, self._emit_d
+        nrows_tot, max_emit = self._nrows, self._max_emit
+        perm = self._cols_perm
+        gather_cols = None if perm.is_identity() else jnp.asarray(perm.gather_indices())
+
+        @jax.jit
+        def sol(Yws, Ts, chain_seq, chain_r, j2_top, r_panels, b):
+            dt = b.dtype
+            # Q1ᵀ b (per-segment), reordered R-rows-first
+            v2 = b[:, None]
+            vs = jnp.where(
+                seg_valid[..., None],
+                v2[jnp.clip(seg_gather, 0, nrows_tot - 1)],
+                jnp.zeros((), dt),
+            )
+            out = _segment_apply(Yws, Ts, starts, vs, True, False)
+            flat = out.reshape(S * seg_gather.shape[1], 1)
+            scat = jnp.zeros((nrows_tot, 1), dt)
+            scat = scat.at[seg_gather.reshape(-1)].set(flat, mode="drop")
+            top = scat[row_order][:, 0]
+            # boundary chain Qᵀ + back-substitution
+            ybot = chain_seq.apply_qt(top[m1:])
+            x2 = banded_solve_r(
+                chain_r, cols_d, emit_d, ncols_d, ybot[:m2],
+                max_emit=ckw["max_emit"], max_cols=ckw["max_cols"], n=m2,
+            )
+            x2pad = jnp.concatenate(
+                [jnp.zeros((o,), dt), x2, jnp.zeros((o,), dt)]
+            )
+            contrib = highest_precision(jnp.einsum)(
+                "snj,sj->sn", j2_top, x2pad[x2_idx]
+            )
+            idx_top = jnp.where(
+                col_valid[:, :nloc_max], col_gather[:, :nloc_max], m1
+            )
+            rhs1 = top[:m1] - jnp.zeros((m1,), dt).at[idx_top].add(
+                contrib, mode="drop"
+            )
+            ypad = jnp.where(col_valid, rhs1[col_gather], jnp.zeros((), dt))
+            xs = jax.vmap(
+                lambda xp, yp, rp, cs, er, nc, act: _banded_solve_chunk(
+                    xp, yp, rp, cs, er, nc, act, max_emit=max_emit, max_cols=mc
+                )
+            )(
+                jnp.zeros_like(ypad), ypad, r_panels, starts, emit2d,
+                ncols_loc_d, active_d,
+            )
+            idx = jnp.where(col_valid, col_gather, m1)
+            x1 = jnp.zeros((m1,), dt).at[idx].set(xs, mode="drop")
+            z = jnp.concatenate([x1, x2])
+            return z if gather_cols is None else z[gather_cols]
+
+        self._solve_fn = sol
+        return sol
+
     def matrix_r_dense(self) -> jnp.ndarray:
         if self._delegate is not None:
             return self._delegate.matrix_r_dense()
         """Dense R in the P_split column order (tests)."""
         n = self.cols
-        R = np.zeros((self._nrows, n), dtype=np.asarray(self._R2).dtype)
+        m1, m2, o = self._m1, self._m2, self._overlap
         rp = np.asarray(self._r_panels)
+        R = np.zeros((self._nrows, n), dtype=rp.dtype)
         for s in range(self.S):
             base = int(self._seg_col0[s])
             for j in range(self.L):
@@ -563,8 +788,23 @@ class SegmentedBandedQR(QRSolver):
                 nc = int(self._loc_geom["ncols"][s, j])
                 c0 = base + int(self._loc_geom["cols"][s, j])
                 R[c0 : c0 + er, c0 : c0 + nc] = rp[s, j, :er, :nc]
-        R[: self._m1, self._m1 :] = np.asarray(self._j2_top)
-        R[self._m1 : self._m1 + self._m2, self._m1 :] = np.asarray(self._R2)
+        # top-right: the structured J2 slabs scattered to their boundary columns
+        jt = np.asarray(self._j2_top)
+        for s in range(self.S):
+            nloc = self._seg_ncols[s]
+            r0 = int(self._seg_col0[s])
+            for c in range(2 * o):
+                gb = (s - 1) * o + c
+                if 0 <= gb < m2:
+                    R[r0 : r0 + nloc, m1 + gb] = jt[s, :nloc, c]
+        # bottom-right: the boundary chain's R panels
+        cr = np.asarray(self._chain_r)
+        cg = self._chain_geom
+        for i in range(self.S):
+            er = int(cg["emit_rows"][i])
+            nc = int(cg["ncols"][i])
+            c0 = int(cg["cols"][i])
+            R[m1 + c0 : m1 + c0 + er, m1 + c0 : m1 + c0 + nc] = cr[i, :er, :nc]
         return jnp.asarray(R)
 
     def cols_permutation(self) -> Permutation:
