@@ -1,0 +1,213 @@
+"""Bundle adjustment — the Jacobian family the reference was built for.
+
+QRKit's stated domain is "the Jacobians that arise in computer-vision
+nonlinear least squares (bundle-adjustment-like problems solved with
+Levenberg-Marquardt)" (/root/reference/README.md:3-6, arXiv 1802.03773).  The
+reference ships only the ellipse demo; this example exercises the same solver
+composition on the real thing:
+
+* Parameters: P 3D points (3 each) and C cameras (axis-angle rotation +
+  translation, 6 each); observations are pinhole projections of every point in
+  every camera.
+* Rows grouped by point make the point columns **block-diagonal**
+  ([2C, 3] per point; damping rows interleave to [2C+3, 3] — the pattern of
+  test-utils.cpp:254-274) and the camera columns a thin shared right block
+  that is itself **sparse** (an observation row touches one camera's 6
+  columns).
+* The damped step is therefore
+  ``BlockAngularQR(BlockDiagonalQR(), DenseColPivQR())`` over
+  ``[BlockDiagonal | SparseCSR]`` — the vmapped batched point QR runs on the
+  MXU, the sparse-A2 path keeps the camera block in O(nnz), and the ColPiv
+  right solver absorbs the gauge freedom (a free similarity transform makes
+  the undamped camera block rank-deficient; ColPiv reports it via ``rank()``
+  instead of failing).
+
+Residuals/Jacobians are vectorized over all observations with ``vmap`` +
+``jacfwd`` — no per-observation host loop.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..containers import BlockDiagonal, BlockMatrix1x2
+from ..lm import LMConfig, LMResult, levenberg_marquardt
+from ..solvers import BlockAngularQR, BlockDiagonalQR, DenseColPivQR
+from ..sparse import SparseCSR
+
+__all__ = ["make_scene", "residuals", "fit_bundle"]
+
+
+def _rodrigues(w: jnp.ndarray) -> jnp.ndarray:
+    """Axis-angle [3] -> rotation matrix [3, 3], smooth at w = 0."""
+    th2 = w @ w
+    th = jnp.sqrt(th2 + 1e-30)
+    a = jnp.where(th2 < 1e-16, 1.0 - th2 / 6.0, jnp.sin(th) / th)
+    b = jnp.where(th2 < 1e-16, 0.5 - th2 / 24.0, (1.0 - jnp.cos(th)) / (th2 + 1e-30))
+    K = jnp.array(
+        [[0.0, -w[2], w[1]], [w[2], 0.0, -w[0]], [-w[1], w[0], 0.0]], w.dtype
+    )
+    return jnp.eye(3, dtype=w.dtype) + a * K + b * (K @ K)
+
+
+def _project(cam: jnp.ndarray, X: jnp.ndarray) -> jnp.ndarray:
+    """Pinhole projection (f = 1) of world point X by camera (omega, t)."""
+    p = _rodrigues(cam[:3]) @ X + cam[3:]
+    return p[:2] / p[2]
+
+
+def make_scene(
+    n_cams: int = 3, n_pts: int = 32, noise: float = 0.0, seed: int = 0
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Synthetic scene: a unit point cloud at the origin, cameras ~6 units in
+    front looking roughly down +z.  Returns (cams [C,6], pts [P,3],
+    uv [P,C,2])."""
+    rng = np.random.default_rng(seed)
+    pts = rng.uniform(-1.0, 1.0, (n_pts, 3))
+    cams = np.concatenate(
+        [
+            0.1 * rng.normal(size=(n_cams, 3)),
+            np.stack(
+                [
+                    0.4 * rng.normal(size=n_cams),
+                    0.4 * rng.normal(size=n_cams),
+                    6.0 + 0.3 * rng.normal(size=n_cams),
+                ],
+                axis=1,
+            ),
+        ],
+        axis=1,
+    )
+    proj = jax.vmap(lambda X: jax.vmap(lambda c: _project(c, X))(jnp.asarray(cams)))(
+        jnp.asarray(pts)
+    )
+    uv = np.asarray(proj) + noise * rng.normal(size=proj.shape)
+    return cams, pts, uv
+
+
+def _split(x: jnp.ndarray, n_pts: int, n_cams: int):
+    pts = x[: 3 * n_pts].reshape(n_pts, 3)
+    cams = x[3 * n_pts :].reshape(n_cams, 6)
+    return pts, cams
+
+
+@jax.jit
+def residuals(x: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
+    """Reprojection residuals, point-major then camera then (u, v) — the row
+    order that makes the point columns block-diagonal."""
+    n_pts, n_cams = uv.shape[0], uv.shape[1]
+    pts, cams = _split(x, n_pts, n_cams)
+    proj = jax.vmap(lambda X: jax.vmap(lambda c: _project(c, X))(cams))(pts)
+    return (proj - uv).reshape(-1)
+
+
+@jax.jit
+def _jacobian_blocks(x: jnp.ndarray, uv: jnp.ndarray):
+    """Structured Jacobian via forward-mode AD over observations:
+    J_pt [P, 2C, 3] (the block-diagonal batch) and J_cam [P, C, 2, 6]."""
+    n_pts, n_cams = uv.shape[0], uv.shape[1]
+    pts, cams = _split(x, n_pts, n_cams)
+
+    def obs(c, X):
+        return _project(c, X)
+
+    jp = jax.vmap(lambda X: jax.vmap(lambda c: jax.jacfwd(obs, argnums=1)(c, X))(cams))(
+        pts
+    )  # [P, C, 2, 3]
+    jc = jax.vmap(lambda X: jax.vmap(lambda c: jax.jacfwd(obs, argnums=0)(c, X))(cams))(
+        pts
+    )  # [P, C, 2, 6]
+    return jp.reshape(n_pts, 2 * n_cams, 3), jc
+
+
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("n_cams",))
+def _damped_left_rhs(jp: jnp.ndarray, res: jnp.ndarray, lam, n_cams: int):
+    """[J_pt; sqrt(lam) I3] blocks and the RHS (-res at observation rows, zeros at
+    the interleaved point-damping rows)."""
+    n_pts = jp.shape[0]
+    dt = jp.dtype
+    sl = jnp.sqrt(lam).astype(dt)
+    eye3 = jnp.broadcast_to(jnp.eye(3, dtype=dt), (n_pts, 3, 3))
+    left_d = jnp.concatenate([jp, sl * eye3], axis=1)  # [P, 2C+3, 3]
+    rhs = jnp.concatenate(
+        [-res.reshape(n_pts, 2 * n_cams), jnp.zeros((n_pts, 3), dt)], axis=1
+    ).reshape(-1)
+    return left_d, rhs
+
+
+class _BundleStep:
+    """Damped-step functor: one block-angular QR solve per call.
+
+    The camera block's sparsity pattern (which rows touch which camera
+    columns) is static across iterations; only its values change, so the
+    triplet index arrays are built once.
+    """
+
+    def __init__(self, uv: np.ndarray):
+        self.uv = jnp.asarray(uv)
+        n_pts, n_cams = uv.shape[0], uv.shape[1]
+        self.n_pts, self.n_cams = n_pts, n_cams
+        brows = 2 * n_cams + 3
+        self.n1 = n_pts * brows + 6 * n_cams
+        # observation rows of A2: row p*brows + 2c + k, cols 6c..6c+6
+        p, c, k, j = np.meshgrid(
+            np.arange(n_pts), np.arange(n_cams), np.arange(2), np.arange(6),
+            indexing="ij",
+        )
+        self._a2_rows = (p * brows + 2 * c + k).reshape(-1)
+        self._a2_cols = (6 * c + j).reshape(-1)
+        # camera damping rows: sqrt(lam) I at the zero-tail of A1
+        self._damp_rows = n_pts * brows + np.arange(6 * n_cams)
+        self._damp_cols = np.arange(6 * n_cams)
+        self.last_qr: Optional[BlockAngularQR] = None
+
+    def __call__(self, x: jnp.ndarray, r: jnp.ndarray, lam: float) -> jnp.ndarray:
+        jp, jc = _jacobian_blocks(x, self.uv)
+        left_d, rhs = _damped_left_rhs(jp, r, lam, self.n_cams)
+        blk = BlockDiagonal.from_dense_batch(
+            left_d, nrows=self.n1, ncols=3 * self.n_pts
+        )
+        sl = float(np.sqrt(lam))
+        a2 = SparseCSR.from_triplets(
+            np.concatenate([self._a2_rows, self._damp_rows]),
+            np.concatenate([self._a2_cols, self._damp_cols]),
+            np.concatenate(
+                [np.asarray(jc).reshape(-1), np.full(6 * self.n_cams, sl)]
+            ),
+            (self.n1, 6 * self.n_cams),
+        )
+        qr = BlockAngularQR(BlockDiagonalQR(), DenseColPivQR()).compute(
+            BlockMatrix1x2(blk, a2)
+        )
+        self.last_qr = qr
+        b = jnp.concatenate([rhs, jnp.zeros((6 * self.n_cams,), rhs.dtype)])
+        rperm = qr.rows_permutation()
+        if not rperm.is_identity():
+            b = jnp.asarray(rperm.apply(np.asarray(b)))
+        return qr.solve(b)
+
+
+def fit_bundle(
+    cams0: np.ndarray,
+    pts0: np.ndarray,
+    uv: np.ndarray,
+    config: Optional[LMConfig] = None,
+) -> LMResult:
+    """LM bundle adjustment from an initial guess (cams0, pts0)."""
+    x0 = jnp.concatenate(
+        [jnp.asarray(pts0).reshape(-1), jnp.asarray(cams0).reshape(-1)]
+    )
+    uvd = jnp.asarray(uv)
+    step = _BundleStep(np.asarray(uv))
+    return levenberg_marquardt(
+        lambda x: residuals(x, uvd),
+        step,
+        x0,
+        config or LMConfig(max_iters=50),
+    )
