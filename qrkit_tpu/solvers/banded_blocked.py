@@ -479,6 +479,25 @@ class BandedBlockedQR(QRSolver):
         BandedBlockedSparseQR.h:741-765; see CompactWYSeq.to_sparse_q."""
         return self.q_seq.to_sparse_q()
 
+    def matrix_r_sparse(self):
+        """Sparse banded R in O(nnz(R)) straight from the per-block panels
+        (the setFromTriplets of BandedBlockedSparseQR.h:483-491, 511-512)."""
+        from ..sparse import SparseCSR
+
+        panels = np.asarray(self.r_panels)  # [nb, max_emit, max_cols]
+        g = self.geom
+        er = g["emit_rows"][:, None, None]
+        nc = g["ncols"][:, None, None]
+        c0 = g["cols"][:, None, None]
+        ri = np.arange(panels.shape[1])[None, :, None]
+        ci = np.arange(panels.shape[2])[None, None, :]
+        mask = (ri < er) & (ci < nc) & (ri <= ci) & (panels != 0.0)
+        rows = np.broadcast_to(c0 + ri, panels.shape)[mask]
+        cols = np.broadcast_to(c0 + ci, panels.shape)[mask]
+        return SparseCSR.from_triplets(
+            rows, cols, panels[mask], (self._nrows, self._ncols)
+        )
+
     def matrix_r_dense(self) -> jnp.ndarray:
         g = self.geom
         R = np.zeros((self._nrows, self._ncols), dtype=np.asarray(self.r_panels).dtype)

@@ -167,6 +167,18 @@ class QRSolver(abc.ABC):
                 self._info = ComputationInfo.NUMERICAL_ISSUE
         return self._info
 
+    def matrix_r_sparse(self):
+        """Explicit *sparse* R (the reference's ``matrixR()`` returns a sparse
+        matrix, e.g. BandedBlockedSparseQR.h:272-275).  Structured solvers
+        override this with an O(nnz(R)) export straight from their panel
+        storage; this default densifies first and suits only solvers whose R
+        is genuinely dense (thin/dense QR)."""
+        from ..sparse import SparseCSR
+
+        R = np.asarray(self.matrix_r_dense())
+        r, c = np.nonzero(R)
+        return SparseCSR.from_triplets(r, c, R[r, c], R.shape)
+
     # --- parity helpers -------------------------------------------------------------
     def matrix_q_dense(self) -> jnp.ndarray:
         """Explicit dense Q (tests only) = apply_q(I)."""

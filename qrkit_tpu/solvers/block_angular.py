@@ -344,6 +344,34 @@ class BlockAngularQR(QRSolver):
         R[m1 : m1 + m2, m1:] = r2[:m2, :m2]
         return jnp.asarray(R)
 
+    def matrix_r_sparse(self):
+        """Sparse composite R = [[R1, R12], [0, R2]] in O(nnz) from the
+        sub-solvers' sparse exports (makeR, BlockAngularSparseQR.h:284-335)."""
+        from ..sparse import SparseCSR
+
+        m1, m2 = self._m1, self._m2
+
+        def _triplets(csr, max_rows):
+            row_ids = np.repeat(np.arange(csr.nrows), np.diff(csr.indptr))
+            keep = row_ids < max_rows
+            return row_ids[keep], csr.indices[keep], csr.data[keep]
+
+        r1_r, r1_c, r1_v = _triplets(self.left.matrix_r_sparse(), m1)
+        r2_r, r2_c, r2_v = _triplets(self.right.matrix_r_sparse(), m2)
+        if self._r12_coo is not None:
+            rows12, cols12, vals12 = self._r12_coo
+            rows12, cols12, vals12 = (
+                np.asarray(rows12), np.asarray(cols12), np.asarray(vals12),
+            )
+        else:
+            r12 = np.asarray(self._r12)
+            rows12, cols12 = np.nonzero(r12)
+            vals12 = r12[rows12, cols12]
+        rows = np.concatenate([r1_r, rows12, m1 + r2_r])
+        cols = np.concatenate([r1_c, m1 + cols12, m1 + r2_c])
+        vals = np.concatenate([r1_v, vals12, r2_v])
+        return SparseCSR.from_triplets(rows, cols, vals, (self._n1, m1 + m2))
+
     @highest_precision
     def solve_r(self, y: jnp.ndarray) -> jnp.ndarray:
         """Block back-substitution: x2 from R2, then x1 from the structured R1."""

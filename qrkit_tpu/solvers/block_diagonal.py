@@ -223,6 +223,22 @@ class BlockDiagonalQR(QRSolver):
     def rows_permutation(self) -> Permutation:
         return self._row_perm
 
+    def matrix_r_sparse(self):
+        """Sparse R in O(nnz(R)): block-diagonal of per-block upper triangles
+        (the triplets BlockDiagonalSparseQR.h:475-479 emplaces)."""
+        from ..sparse import SparseCSR
+
+        Rb = np.asarray(self.R)
+        nb, bc, _ = Rb.shape
+        r, c = np.triu_indices(bc)
+        rows = (np.arange(nb)[:, None] * bc + r[None, :]).ravel()
+        cols = (np.arange(nb)[:, None] * bc + c[None, :]).ravel()
+        vals = Rb[:, r, c].ravel()
+        keep = vals != 0.0  # reference prunes exact zeros
+        return SparseCSR.from_triplets(
+            rows[keep], cols[keep], vals[keep], (self._nrows, self._ncols)
+        )
+
     def matrix_q_sparse(self):
         """Explicit *sparse* Q in O(nnz(Q)) = O(nb·br²) memory — the
         two-shifted-diagonal assembly of BlockDiagonalSparseQR.h:455-506.

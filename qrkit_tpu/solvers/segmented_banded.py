@@ -807,6 +807,76 @@ class SegmentedBandedQR(QRSolver):
             R[m1 + c0 : m1 + c0 + er, m1 + c0 : m1 + c0 + nc] = cr[i, :er, :nc]
         return jnp.asarray(R)
 
+    def matrix_r_sparse(self):
+        """Sparse R (P_split column order) in O(nnz(R)): interior panels +
+        structured J2-top slabs + boundary chain panels as triplets."""
+        if self._delegate is not None:
+            return self._delegate.matrix_r_sparse()
+        from ..sparse import SparseCSR
+
+        m1, m2, o = self._m1, self._m2, self._overlap
+        trips = []
+
+        rp = np.asarray(self._r_panels)  # [S, L, max_emit, max_cols]
+        base = (np.asarray(self._seg_col0)[:, None] + self._loc_geom["cols"])[
+            :, :, None, None
+        ]
+        er = self._emit[:, :, None, None]
+        nc = self._loc_geom["ncols"][:, :, None, None]
+        ri = np.arange(rp.shape[2])[None, None, :, None]
+        ci = np.arange(rp.shape[3])[None, None, None, :]
+        mask = (
+            self._active[:, :, None, None]
+            & (ri < er) & (ci < nc) & (ri <= ci) & (rp != 0.0)
+        )
+        trips.append(
+            (
+                np.broadcast_to(base + ri, rp.shape)[mask],
+                np.broadcast_to(base + ci, rp.shape)[mask],
+                rp[mask],
+            )
+        )
+
+        jt = np.asarray(self._j2_top)  # [S, nloc_max, 2o]
+        rloc = np.asarray(self._seg_col0)[:, None, None] + np.arange(jt.shape[1])[
+            None, :, None
+        ]
+        gb = (np.arange(self.S) - 1)[:, None, None] * o + np.arange(2 * o)[
+            None, None, :
+        ]
+        maskt = (
+            (np.arange(jt.shape[1])[None, :, None] < np.asarray(self._seg_ncols)[:, None, None])
+            & (gb >= 0) & (gb < m2) & (jt != 0.0)
+        )
+        trips.append(
+            (
+                np.broadcast_to(rloc, jt.shape)[maskt],
+                m1 + np.broadcast_to(gb, jt.shape)[maskt],
+                jt[maskt],
+            )
+        )
+
+        cr = np.asarray(self._chain_r)  # [S, max_emit2, max_cols2]
+        cg = self._chain_geom
+        c0 = cg["cols"][:, None, None]
+        er2 = cg["emit_rows"][:, None, None]
+        nc2 = cg["ncols"][:, None, None]
+        ri2 = np.arange(cr.shape[1])[None, :, None]
+        ci2 = np.arange(cr.shape[2])[None, None, :]
+        mask2 = (ri2 < er2) & (ci2 < nc2) & (ri2 <= ci2) & (cr != 0.0)
+        trips.append(
+            (
+                m1 + np.broadcast_to(c0 + ri2, cr.shape)[mask2],
+                m1 + np.broadcast_to(c0 + ci2, cr.shape)[mask2],
+                cr[mask2],
+            )
+        )
+
+        rows = np.concatenate([t[0] for t in trips])
+        cols = np.concatenate([t[1] for t in trips])
+        vals = np.concatenate([t[2] for t in trips])
+        return SparseCSR.from_triplets(rows, cols, vals, (self._nrows, self.cols))
+
     def cols_permutation(self) -> Permutation:
         if self._delegate is not None:
             return self._delegate.cols_permutation()
