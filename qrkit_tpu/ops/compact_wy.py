@@ -25,7 +25,33 @@ import jax.numpy as jnp
 
 from .householder import highest_precision
 
-__all__ = ["CompactWYSeq"]
+__all__ = ["CompactWYSeq", "TwoSegmentWYSeq"]
+
+
+def _to_sparse_q(seq, chunk: int = 512, drop_tol: float = 0.0):
+    """Explicit sparse Q by blocked application to unit-column slabs (the Q·I
+    product of BandedBlockedSparseQR.h:741-765, chunked).  Peak device memory
+    is O(m·chunk); host memory O(nnz(Q))."""
+    import numpy as np
+
+    from ..sparse import SparseCSR
+
+    m = seq.m
+    rows_l, cols_l, vals_l = [], [], []
+    eye_slab = jnp.eye(m, min(chunk, m), dtype=seq.Y.dtype)
+    for c0 in range(0, m, chunk):
+        k = min(chunk, m - c0)
+        # columns e_{c0}..e_{c0+k-1}; no wraparound since i < k <= m - c0
+        slab = jnp.roll(eye_slab, c0, axis=0)[:, :k]
+        q_slab = np.asarray(seq.apply_q(slab))
+        r, c = np.nonzero(np.abs(q_slab) > drop_tol)
+        rows_l.append(r)
+        cols_l.append(c + c0)
+        vals_l.append(q_slab[r, c])
+    return SparseCSR.from_triplets(
+        np.concatenate(rows_l), np.concatenate(cols_l), np.concatenate(vals_l),
+        (m, m),
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("transpose", "vec"))
@@ -100,35 +126,12 @@ class CompactWYSeq:
         return self.apply_q(jnp.eye(self.m, dtype=self.Y.dtype))
 
     def to_sparse_q(self, chunk: int = 512, drop_tol: float = 0.0):
-        """Explicit *sparse* Q assembled by blocked application to unit-column
-        slabs (the Q·I product of BandedBlockedSparseQR.h:741-765, chunked).
-
-        Peak device memory is O(m·chunk) — never an [m, m] array; host memory
-        is O(nnz(Q)).  ``drop_tol`` prunes entries with |v| <= drop_tol (0.0
-        keeps every structurally-touched entry, matching the reference's
-        exact-zero pruning).  Note a chained (overlapping) sequence genuinely
-        fills Q's upper profile — nnz(Q) here equals the reference's.
-        """
-        import numpy as np
-
-        from ..sparse import SparseCSR
-
-        m = self.m
-        rows_l, cols_l, vals_l = [], [], []
-        eye_slab = jnp.eye(m, min(chunk, m), dtype=self.Y.dtype)
-        for c0 in range(0, m, chunk):
-            k = min(chunk, m - c0)
-            # columns e_{c0}..e_{c0+k-1}; no wraparound since i < k <= m - c0
-            slab = jnp.roll(eye_slab, c0, axis=0)[:, :k]
-            q_slab = np.asarray(self.apply_q(slab))
-            r, c = np.nonzero(np.abs(q_slab) > drop_tol)
-            rows_l.append(r)
-            cols_l.append(c + c0)
-            vals_l.append(q_slab[r, c])
-        return SparseCSR.from_triplets(
-            np.concatenate(rows_l), np.concatenate(cols_l), np.concatenate(vals_l),
-            (m, m),
-        )
+        """Explicit *sparse* Q via chunked Q·I — see :func:`_to_sparse_q`.
+        ``drop_tol`` prunes entries with |v| <= drop_tol (0.0 keeps every
+        structurally-touched entry, matching the reference's exact-zero
+        pruning).  Note a chained (overlapping) sequence genuinely fills Q's
+        upper profile — nnz(Q) here equals the reference's."""
+        return _to_sparse_q(self, chunk, drop_tol)
 
     @staticmethod
     def single(Y: jnp.ndarray, T: jnp.ndarray, start: int, m: int) -> "CompactWYSeq":
@@ -161,3 +164,99 @@ class CompactWYSeq:
             jnp.concatenate([a.start, b.start]),
             a.m,
         )
+
+
+@functools.partial(jax.jit, static_argnames=("transpose", "vec"))
+@highest_precision
+def _apply_two_seg(seq: "TwoSegmentWYSeq", M: jnp.ndarray, transpose: bool, vec: bool):
+    if vec:
+        M = M[:, None]
+    k = M.shape[1]
+    A = seq.Y.shape[1]
+    H1 = seq.h1
+    Mp = jnp.concatenate([M, jnp.zeros((H1 + A, k), M.dtype)], axis=0)
+    jA = jax.lax.broadcasted_iota(jnp.int32, (A,), 0)
+    j1 = jax.lax.broadcasted_iota(jnp.int32, (H1,), 0)
+
+    def body(carry, blk):
+        Yk, Tk, s1, s2, sp = blk
+        zero = jnp.zeros((), s1.dtype)
+        w1 = jax.lax.dynamic_slice(carry, (s1, zero), (H1, k))
+        w2 = jax.lax.dynamic_slice(carry, (s2, zero), (A, k))
+        # merge into panel coordinates: rows [0, sp) from the carry segment,
+        # the rest from the block segment
+        wg = jnp.where(
+            (jA < sp)[:, None],
+            w1[jnp.clip(jA, 0, H1 - 1)],
+            w2[jnp.clip(jA - sp, 0, A - 1)],
+        )
+        Tt = Tk.T if transpose else Tk
+        wg = wg + Yk @ (Tt @ (Yk.T @ wg))
+        # unmerge; rows outside each segment's live span carry their original
+        # values, so the (ordered: w1 then w2) writes are overlap-safe — any
+        # row shared between the padded segments has zero Y on the side that
+        # does not own it, and the owning write lands last
+        w1o = jnp.where((j1 < sp)[:, None], wg[jnp.clip(j1, 0, A - 1)], w1)
+        w2o = jnp.where((jA + sp < A)[:, None], wg[jnp.clip(jA + sp, 0, A - 1)], w2)
+        carry = jax.lax.dynamic_update_slice(carry, w1o, (s1, zero))
+        carry = jax.lax.dynamic_update_slice(carry, w2o, (s2, zero))
+        return carry, None
+
+    out, _ = jax.lax.scan(
+        body, Mp, (seq.Y, seq.T, seq.s1, seq.s2, seq.split), reverse=not transpose
+    )
+    out = out[: seq.m]
+    return out[:, 0] if vec else out
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class TwoSegmentWYSeq:
+    """Compact-WY sequence stored in *panel coordinates* with a 2-segment
+    gather/scatter — the direct analog of the reference's
+    ``getVectorSegments``/``setVectorSegments`` + ``numZeros`` design
+    (SparseQRUtils.h:44-89, BlockYTY.h:77-139).
+
+    Block k's reflector panel Y[k] ([A, C], A = carry pad + block rows) acts on
+    two slices of the operand: the carry segment at ``s1[k]`` (the R-position
+    rows, ``split[k]`` of them live) and the block segment at ``s2[k]`` (the
+    block's physical rows).  Unlike :class:`CompactWYSeq`'s
+    window-with-zero-gap-rows form — whose window height grows with the
+    row/column offset gap, i.e. O(chain length) for a banded chain, making the
+    Y store O(nb²) — this store is O(nb · A · C) and each scan step touches
+    O(A) rows instead of O(window).
+    """
+
+    Y: jnp.ndarray  # [nb, A, C] panel-coordinate reflectors
+    T: jnp.ndarray  # [nb, C, C]
+    s1: jnp.ndarray  # [nb] carry-segment start (R positions = block col offset)
+    s2: jnp.ndarray  # [nb] block-segment start (block row offset)
+    split: jnp.ndarray  # [nb] carry pad (panel rows below this are block rows)
+    h1: int  # static carry-segment slice height (>= max split)
+    m: int  # logical operand length
+
+    def tree_flatten(self):
+        return (self.Y, self.T, self.s1, self.s2, self.split), (self.h1, self.m)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, h1=aux[0], m=aux[1])
+
+    @property
+    def num_blocks(self) -> int:
+        return self.Y.shape[0]
+
+    def _apply(self, M: jnp.ndarray, transpose: bool) -> jnp.ndarray:
+        return _apply_two_seg(self, M, transpose, M.ndim == 1)
+
+    def apply_q(self, M: jnp.ndarray) -> jnp.ndarray:
+        return self._apply(M, transpose=False)
+
+    def apply_qt(self, M: jnp.ndarray) -> jnp.ndarray:
+        return self._apply(M, transpose=True)
+
+    def to_dense_q(self) -> jnp.ndarray:
+        return self.apply_q(jnp.eye(self.m, dtype=self.Y.dtype))
+
+    def to_sparse_q(self, chunk: int = 512, drop_tol: float = 0.0):
+        return _to_sparse_q(self, chunk, drop_tol)

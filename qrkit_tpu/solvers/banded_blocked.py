@@ -7,9 +7,12 @@ block's R into the next block's panel (BandedBlockedSparseQR.h:494-507); here
 that carry is literally the ``lax.scan`` carry.  Per step: assemble the panel
 (carry on top, matrix rows below), compact-WY panel QR, emit solved R rows, and
 shift out the next overlap carry.  Q is implicit — a
-:class:`~qrkit_tpu.ops.compact_wy.CompactWYSeq` whose per-block windows encode
-the reference's diagonal/subdiagonal segments with ``numZeros`` gap rows
-(BlockYTY.h:77-139) as explicit zero rows.
+:class:`~qrkit_tpu.ops.compact_wy.TwoSegmentWYSeq` holding the reflectors in
+panel coordinates; the reference's diagonal/subdiagonal segments separated by
+``numZeros`` gap rows (BlockYTY.h:77-139, SparseQRUtils.h:44-89) become the
+two-slice gather/scatter metadata (carry segment at the R positions, block
+segment at the physical rows), keeping the Q store O(nb · panel) instead of
+O(nb · window) — the window of a banded chain grows with the chain.
 
 All geometry (active rows, overlaps, gaps) comes from the static
 :class:`~qrkit_tpu.plan.StructurePlan`; the jitted factorization is keyed by the
@@ -25,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..analysis import as_banded_as_possible, block_banded_info, from_block_banded_pattern
-from ..ops.compact_wy import CompactWYSeq
+from ..ops.compact_wy import TwoSegmentWYSeq
 from ..ops.householder import highest_precision, panel_qr_yt
 from ..plan import StructurePlan
 from ..sparse import Permutation, SparseCSR
@@ -88,75 +91,52 @@ def banded_geometry(plan: StructurePlan):
     }
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("max_active", "max_cols", "max_carry", "max_zeros", "max_emit"),
-)
+@functools.partial(jax.jit, static_argnames=("max_carry", "max_emit"))
 @highest_precision
 def _banded_factorize_chunk(
     C0: jnp.ndarray,  # [max_carry, max_cols] incoming carry
     shifted: jnp.ndarray,  # [L, max_active, max_cols] pre-shifted panels
     col_inc: jnp.ndarray,  # [L]
-    num_zeros: jnp.ndarray,  # [L]
-    ncols_a: jnp.ndarray,  # [L]
-    carry_arr: jnp.ndarray,  # [L] carry rows of each step (gap insertion point)
     active: jnp.ndarray,  # [L] bool — padded tail steps pass the carry through
     *,
-    max_active: int,
-    max_cols: int,
     max_carry: int,
-    max_zeros: int,
     max_emit: int,
 ):
     """One compiled scan chunk of the banded chain.
 
-    The scan body is structurally minimal (per-step latency bounds long chains):
-    panels arrive pre-shifted (the row shift is one batched gather outside the
-    scan), the next-carry extraction is a single ``dynamic_slice`` of the
-    zero-padded R (the out-of-overlap region of a triangular R is already
-    zero), and the ``numZeros`` gap insertion is skipped when the plan has no
-    gaps.  ``active`` masks padded steps so chains of any length reuse one
-    compiled chunk.
+    The scan body is structurally minimal (per-step latency bounds long
+    chains): panels arrive pre-shifted (the row shift is one batched gather
+    outside the scan), the next-carry extraction is a single ``dynamic_slice``
+    of the zero-padded R (the out-of-overlap region of a triangular R is
+    already zero), and Y is emitted in *panel coordinates* — the placement
+    into the work vector (carry segment at the R positions, block segment at
+    the physical rows, ``numZeros`` gap between) lives entirely in
+    :class:`~qrkit_tpu.ops.compact_wy.TwoSegmentWYSeq` metadata, so nothing
+    window-sized is ever materialized.  ``active`` masks padded steps so
+    chains of any length reuse one compiled chunk.
     """
     dt = shifted.dtype
-    W = max_active + max_zeros
-    w_iota = jax.lax.broadcasted_iota(jnp.int32, (W,), 0)
+    max_cols = shifted.shape[2]
 
     def body(carry, xs):
         C = carry
-        panel_s, ci, nz, nc, cr, act = xs
+        panel_s, ci, act = xs
 
         Ji = panel_s.at[:max_carry].add(C)
         Y, T, V = panel_qr_yt(Ji)
         V = jnp.triu(V)
-
-        if max_zeros == 0:
-            Yw = Y
-        else:
-            # panel rows [0, nc) are the R-space rows of the work vector
-            # (contiguous at cols[i]); the numZeros gap sits between them and
-            # the block's physical rows, so it is inserted at nc — the carry
-            # pad is sized (banded_geometry) so rows [cr, nc) of the panel are
-            # either structurally zero or already physically contiguous
-            wsrc = jnp.where(w_iota < nc, w_iota, w_iota - nz)
-            wvalid = ((w_iota < nc) | (w_iota >= nc + nz)) & (wsrc < max_active)
-            Yw = jnp.where(
-                wvalid[:, None],
-                Y[jnp.clip(wsrc, 0, max_active - 1)],
-                jnp.zeros((), dt),
-            )
 
         Vp = jnp.pad(V, ((0, max_carry), (0, max_cols)))
         Cn = jax.lax.dynamic_slice(Vp, (ci, ci), (max_carry, max_cols))
 
         zero = jnp.zeros((), dt)
         Cn = jnp.where(act, Cn, C)
-        Yw = jnp.where(act, Yw, zero)
+        Y = jnp.where(act, Y, zero)
         T = jnp.where(act, T, zero)
         Vout = jnp.where(act, V[:max_emit], zero)
-        return Cn, (Yw, T, Vout)
+        return Cn, (Y, T, Vout)
 
-    xs = (shifted, col_inc, num_zeros, ncols_a, carry_arr, active)
+    xs = (shifted, col_inc, active)
     return jax.lax.scan(body, C0, xs)
 
 
@@ -165,16 +145,15 @@ _CHUNK = 256
 
 def banded_factorize(
     panels: jnp.ndarray,  # [nb, mR, max_cols] dense blocks of the permuted matrix
-    geom: dict,  # int32 arrays [nb]: carry_rows, col_inc, num_zeros, ncols, nrows, cols
+    geom: dict,  # int32 arrays [nb]: carry_rows, col_inc, nrows, cols, rows
     *,
     max_active: int,
     max_cols: int,
     max_carry: int,
-    max_zeros: int,
     max_emit: int,
     m: int,
 ):
-    """Banded-chain factorization.  Returns (CompactWYSeq, R panels [nb, ...]).
+    """Banded-chain factorization.  Returns (TwoSegmentWYSeq, R panels [nb, ...]).
 
     Long chains are processed as fixed-size compiled scan chunks with the
     overlap carry threaded between calls — the TPU backend's compile time grows
@@ -187,25 +166,15 @@ def banded_factorize(
 
     carry_rows = geom["carry_rows"].astype(jnp.int32)
     col_inc = geom["col_inc"].astype(jnp.int32)
-    num_zeros = geom["num_zeros"].astype(jnp.int32)
-    ncols_a = geom["ncols"].astype(jnp.int32)
     nrows_a = geom["nrows"].astype(jnp.int32)
 
     shifted = _shift_panels(panels, carry_rows, nrows_a, max_active)
 
-    kw = dict(
-        max_active=max_active,
-        max_cols=max_cols,
-        max_carry=max_carry,
-        max_zeros=max_zeros,
-        max_emit=max_emit,
-    )
+    kw = dict(max_carry=max_carry, max_emit=max_emit)
     C = jnp.zeros((max_carry, max_cols), dt)
     if nb <= _CHUNK + _CHUNK // 2:
         active = jnp.ones((nb,), bool)
-        _, (Yws, Ts, Vs) = _banded_factorize_chunk(
-            C, shifted, col_inc, num_zeros, ncols_a, carry_rows, active, **kw
-        )
+        _, (Yws, Ts, Vs) = _banded_factorize_chunk(C, shifted, col_inc, active, **kw)
     else:
         pad = (-nb) % _CHUNK
         def padded(a, fill=0):
@@ -213,27 +182,28 @@ def banded_factorize(
                 [a, jnp.full((pad,) + a.shape[1:], fill, a.dtype)], axis=0
             )
         shifted_p = padded(shifted)
-        ci_p, nz_p, nc_p = padded(col_inc), padded(num_zeros), padded(ncols_a)
-        cr_p = padded(carry_rows)
+        ci_p = padded(col_inc)
         act_p = jnp.concatenate([jnp.ones((nb,), bool), jnp.zeros((pad,), bool)])
         ys = []
         for k in range(0, nb + pad, _CHUNK):
             C, y = _banded_factorize_chunk(
-                C,
-                shifted_p[k : k + _CHUNK],
-                ci_p[k : k + _CHUNK],
-                nz_p[k : k + _CHUNK],
-                nc_p[k : k + _CHUNK],
-                cr_p[k : k + _CHUNK],
-                act_p[k : k + _CHUNK],
-                **kw,
+                C, shifted_p[k : k + _CHUNK], ci_p[k : k + _CHUNK],
+                act_p[k : k + _CHUNK], **kw,
             )
             ys.append(y)
         Yws = jnp.concatenate([y[0] for y in ys])[:nb]
         Ts = jnp.concatenate([y[1] for y in ys])[:nb]
         Vs = jnp.concatenate([y[2] for y in ys])[:nb]
 
-    seq = CompactWYSeq(Yws, Ts, geom["cols"].astype(jnp.int32), m)
+    seq = TwoSegmentWYSeq(
+        Yws,
+        Ts,
+        geom["cols"].astype(jnp.int32),
+        geom["rows"].astype(jnp.int32),
+        carry_rows,
+        h1=max(max_carry, 1),
+        m=m,
+    )
     return seq, Vs
 
 
@@ -418,7 +388,7 @@ class BandedBlockedQR(QRSolver):
         # arrays dominated repeated-compute wall time (the LM pattern)
         self._geom_dev = {
             k: jnp.asarray(g[k])
-            for k in ("carry_rows", "col_inc", "num_zeros", "ncols", "nrows", "cols")
+            for k in ("carry_rows", "col_inc", "nrows", "cols", "rows")
         }
         self._solve_meta = (
             jnp.asarray(g["cols"]),
@@ -440,13 +410,13 @@ class BandedBlockedQR(QRSolver):
         panels = pmat.blocks_dense(
             [b.astuple() for b in self.plan.blocks], self._mR, self._max_cols
         )
+        dtype = np.float64 if jax.config.jax_enable_x64 else np.float32
         self.q_seq, self.r_panels = banded_factorize(
-            jnp.asarray(panels),
+            jnp.asarray(np.asarray(panels, dtype)),
             self._geom_dev,
             max_active=self._max_active,
             max_cols=self._max_cols,
             max_carry=self._max_carry,
-            max_zeros=self._max_zeros,
             max_emit=self._max_emit,
             m=self._nrows,
         )

@@ -47,7 +47,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..analysis import as_banded_as_possible, block_banded_info, from_block_banded_pattern
-from ..ops.compact_wy import CompactWYSeq
+from ..ops.compact_wy import TwoSegmentWYSeq
 from ..ops.householder import highest_precision
 from ..sparse import Permutation, SparseCSR
 from .banded_blocked import _banded_factorize_chunk, _banded_solve_chunk, banded_geometry
@@ -56,34 +56,28 @@ from .base import ComputationInfo, QRSolver
 __all__ = ["SegmentedBandedQR"]
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("max_active", "max_cols", "max_carry", "max_zeros", "max_emit"),
-)
-def _vmapped_chain(C0, shifted, col_inc, num_zeros, ncols_a, carry_arr, active, **kw):
+@functools.partial(jax.jit, static_argnames=("max_carry", "max_emit"))
+def _vmapped_chain(C0, shifted, col_inc, active, **kw):
     """vmap of the banded scan chunk over the segment axis."""
-    f = lambda c, s, ci, nz, nc, cr, a: _banded_factorize_chunk(
-        c, s, ci, nz, nc, cr, a, **kw
-    )
-    return jax.vmap(f)(C0, shifted, col_inc, num_zeros, ncols_a, carry_arr, active)
+    f = lambda c, s, ci, a: _banded_factorize_chunk(c, s, ci, a, **kw)
+    return jax.vmap(f)(C0, shifted, col_inc, active)
 
 
-@functools.partial(jax.jit, static_argnames=("transpose", "vec"))
+@functools.partial(jax.jit, static_argnames=("h1", "transpose", "vec"))
 @highest_precision
-def _segment_apply(Yws, Ts, starts, v_seg, transpose: bool, vec: bool):
-    """Per-segment CompactWY application, vmapped over segments.
+def _segment_apply(Yws, Ts, s1, s2, split, v_seg, h1: int, transpose: bool, vec: bool):
+    """Per-segment two-segment compact-WY application, vmapped over segments.
 
     v_seg: [S, seg_rows(+pad)] or [S, seg_rows, k]."""
     if vec:
         v_seg = v_seg[..., None]
     S, rows, k = v_seg.shape
-    W = Yws.shape[2]
 
-    def one(Y, T, st, v):
-        seq = CompactWYSeq(Y, T, st, rows)
+    def one(Y, T, a1, a2, sp, v):
+        seq = TwoSegmentWYSeq(Y, T, a1, a2, sp, h1=h1, m=rows)
         return seq._apply(v, transpose)
 
-    out = jax.vmap(one, in_axes=(0, 0, 0, 0))(Yws, Ts, starts, v_seg)
+    out = jax.vmap(one, in_axes=(0, 0, 0, 0, 0, 0))(Yws, Ts, s1, s2, split, v_seg)
     return out[..., 0] if vec else out
 
 
@@ -272,7 +266,7 @@ class SegmentedBandedQR(QRSolver):
         # stacked [S, L] geometry (padded steps inactive)
         loc_geom = {
             k: np.zeros((S, L), dtype=np.int64)
-            for k in ("carry_rows", "col_inc", "num_zeros", "ncols", "nrows", "cols")
+            for k in ("carry_rows", "col_inc", "ncols", "nrows", "cols", "rows")
         }
         active = np.zeros((S, L), dtype=bool)
         emit = np.zeros((S, L), dtype=np.int64)
@@ -308,7 +302,6 @@ class SegmentedBandedQR(QRSolver):
             max_active=max(int(g_s["active"].max()) for g_s in seg_geoms),
             max_cols=max_cols,
             max_carry=max(max(int(g_s["carry_rows"].max()) for g_s in seg_geoms), 1),
-            max_zeros=max(int(g_s["num_zeros"].max()) for g_s in seg_geoms),
             max_emit=int(emit.max()),
         )
         self._max_cols = max_cols
@@ -322,8 +315,8 @@ class SegmentedBandedQR(QRSolver):
         self._carry2d = jnp.asarray(loc_geom["carry_rows"], dtype=jnp.int32)
         self._nrows_d = jnp.asarray(loc_geom["nrows"].reshape(-1), dtype=jnp.int32)
         self._colinc_d = jnp.asarray(loc_geom["col_inc"], dtype=jnp.int32)
-        self._nzeros_d = jnp.asarray(loc_geom["num_zeros"], dtype=jnp.int32)
         self._ncols_d = jnp.asarray(loc_geom["ncols"], dtype=jnp.int32)
+        self._rows2d = jnp.asarray(loc_geom["rows"], dtype=jnp.int32)
         self._active_d = jnp.asarray(active)
         self._emit_d = jnp.asarray(emit, dtype=jnp.int32)
         self._seg_col0_d = jnp.asarray(self._seg_col0)
@@ -359,13 +352,12 @@ class SegmentedBandedQR(QRSolver):
         self._chain_geom = cg
         self._chain_geom_dev = {
             k: jnp.asarray(cg[k])
-            for k in ("carry_rows", "col_inc", "num_zeros", "ncols", "nrows", "cols")
+            for k in ("carry_rows", "col_inc", "nrows", "cols", "rows")
         }
         self._chain_kw = dict(
             max_active=int(cg["active"].max()),
             max_cols=int(cg["ncols"].max()),
             max_carry=max(int(cg["carry_rows"].max()), 1),
-            max_zeros=int(cg["num_zeros"].max()),
             max_emit=int(cg["emit_rows"].max()),
         )
         self._chain_solve_meta = (
@@ -465,11 +457,12 @@ class SegmentedBandedQR(QRSolver):
         S, L, o = self.S, self.L, self._overlap
         max_cols, kw, ckw = self._max_cols, dict(self._kw), dict(self._chain_kw)
         carry_d, nrows_d, starts = self._carry_d, self._nrows_d, self._starts
-        colinc_d, nzeros_d, ncols_d = self._colinc_d, self._nzeros_d, self._ncols_d
-        carry2d, active_d = self._carry2d, self._active_d
+        colinc_d = self._colinc_d
+        carry2d, active_d, rows2d = self._carry2d, self._active_d, self._rows2d
         top_valid, bot_idx, bot_valid = self._top_valid, self._bot_idx, self._bot_valid
         chain_geom, nbot = self._chain_geom_dev, self._nbot
         nloc_max = self._nloc_max
+        h1 = kw["max_carry"]
 
         @jax.jit
         def fac(pj, slab):
@@ -479,9 +472,12 @@ class SegmentedBandedQR(QRSolver):
             )
             C0 = jnp.zeros((S, kw["max_carry"], max_cols), dtype)
             _, (Yws, Ts, Vs) = _vmapped_chain(
-                C0, shifted, colinc_d, nzeros_d, ncols_d, carry2d, active_d, **kw
+                C0, shifted, colinc_d, active_d,
+                max_carry=kw["max_carry"], max_emit=kw["max_emit"],
             )
-            j2slab = _segment_apply(Yws, Ts, starts, slab, True, False)
+            j2slab = _segment_apply(
+                Yws, Ts, starts, rows2d, carry2d, slab, h1, True, False
+            )
             j2_top = jnp.where(
                 top_valid[:, :, None], j2slab[:, :nloc_max], jnp.zeros((), dtype)
             )
@@ -568,7 +564,10 @@ class SegmentedBandedQR(QRSolver):
             v2[jnp.clip(self._seg_gather, 0, self._nrows - 1)],
             jnp.zeros((), v2.dtype),
         )  # [S, R, k]
-        out = _segment_apply(self._Yws, self._Ts, self._starts, vs, True, False)
+        out = _segment_apply(
+            self._Yws, self._Ts, self._starts, self._rows2d, self._carry2d,
+            vs, self._kw["max_carry"], True, False,
+        )
         flat = out.reshape(self.S * self._max_seg_rows, k)
         # un-pad back to global ordering, then reorder R-rows-first
         scatter = jnp.zeros((self._nrows, k), v2.dtype)
@@ -587,7 +586,10 @@ class SegmentedBandedQR(QRSolver):
             nat[jnp.clip(self._seg_gather, 0, self._nrows - 1)],
             jnp.zeros((), v2.dtype),
         )
-        out = _segment_apply(self._Yws, self._Ts, self._starts, vs, False, False)
+        out = _segment_apply(
+            self._Yws, self._Ts, self._starts, self._rows2d, self._carry2d,
+            vs, self._kw["max_carry"], False, False,
+        )
         flat = out.reshape(self.S * self._max_seg_rows, k)
         scatter = jnp.zeros((self._nrows, k), v2.dtype)
         scatter = scatter.at[self._seg_gather.reshape(-1)].set(flat, mode="drop")
@@ -712,6 +714,7 @@ class SegmentedBandedQR(QRSolver):
         m1, m2, o = self._m1, self._m2, self._overlap
         S, mc, nloc_max = self.S, self._max_cols, self._nloc_max
         starts, ckw = self._starts, dict(self._chain_kw)
+        rows2d, carry2d, h1 = self._rows2d, self._carry2d, self._kw["max_carry"]
         cols_d, emit_d, ncols_d = self._chain_solve_meta
         seg_gather, seg_valid = self._seg_gather, self._seg_valid
         row_order = self._row_order
@@ -731,7 +734,7 @@ class SegmentedBandedQR(QRSolver):
                 v2[jnp.clip(seg_gather, 0, nrows_tot - 1)],
                 jnp.zeros((), dt),
             )
-            out = _segment_apply(Yws, Ts, starts, vs, True, False)
+            out = _segment_apply(Yws, Ts, starts, rows2d, carry2d, vs, h1, True, False)
             flat = out.reshape(S * seg_gather.shape[1], 1)
             scat = jnp.zeros((nrows_tot, 1), dt)
             scat = scat.at[seg_gather.reshape(-1)].set(flat, mode="drop")
