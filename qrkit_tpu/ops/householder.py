@@ -223,6 +223,11 @@ def colpiv_householder_qr(
     Returns (Y, taus, R, perm) with ``A[:, perm] = Q R`` (perm[j] = original
     index of the j-th pivot, i.e. Eigen's colsPermutation().indices()).
 
+    Landscape input (m < n) runs only the min(m, n) meaningful elimination
+    steps (like geqrf): Y/taus have min(m, n) columns and ``R`` is the wide
+    upper trapezoid; the pivot search still ranks ALL columns, so the first
+    m pivots are the rank-revealing choice among the full width.
+
     Width guard: up to ``_COLPIV_UNROLL_MAX`` columns the loop unrolls at
     trace time (fastest for the small panels this library lives on); wider
     panels switch to a ``lax.scan`` body so trace/compile size stays O(1) in
@@ -236,7 +241,7 @@ def colpiv_householder_qr(
     cols = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
     norms2 = jnp.sum(A * A, axis=0)
     ys, taus = [], []
-    for j in range(n):
+    for j in range(min(m, n)):
         masked = jnp.where(cols >= j, norms2, jnp.full((), -jnp.inf, dt))
         p = jnp.argmax(masked)
         # swap columns j <-> p (j static, p traced)
@@ -251,8 +256,8 @@ def colpiv_householder_qr(
         norms2 = jnp.maximum(norms2, jnp.zeros((), dt))
         ys.append(v)
         taus.append(tau)
-    Y = jnp.stack(ys, axis=1) if n else jnp.zeros((m, 0), dt)
-    tau_vec = jnp.stack(taus) if n else jnp.zeros((0,), dt)
+    Y = jnp.stack(ys, axis=1) if ys else jnp.zeros((m, 0), dt)
+    tau_vec = jnp.stack(taus) if taus else jnp.zeros((0,), dt)
     return Y, tau_vec, A, perm
 
 
@@ -296,7 +301,7 @@ def _colpiv_householder_qr_scan(A: jnp.ndarray):
 
     init = (A, jnp.arange(n), jnp.sum(A * A, axis=0))
     (A, perm, _), (Yt, taus) = jax.lax.scan(
-        body, init, jnp.arange(n, dtype=jnp.int32)
+        body, init, jnp.arange(min(m, n), dtype=jnp.int32)
     )
     return Yt.T, taus, A, perm
 

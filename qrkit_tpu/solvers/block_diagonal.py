@@ -50,18 +50,21 @@ class QFormat(enum.Enum):
 @functools.partial(jax.jit, static_argnames=("pivot",))
 @highest_precision
 def _factorize_blocks(blocks: jnp.ndarray, pivot: bool = True):
-    """Batched per-block QR: returns (Q [nb,br,br], R [nb,bc,bc], perm [nb,bc])."""
-    bc = blocks.shape[2]
+    """Batched per-block QR: returns (Q [nb,br,br], R [nb,k,bc], perm [nb,bc])
+    with k = min(br, bc) — square upper-triangular R for portrait blocks, the
+    wide upper trapezoid for landscape ones."""
+    br, bc = blocks.shape[1], blocks.shape[2]
+    k = min(br, bc)
 
     if pivot:
         def one(a):
             Y, taus, Ared, perm = colpiv_householder_qr(a)
             T = build_t_factor(Y, taus)
-            return form_q(Y, T), jnp.triu(Ared[:bc]), perm
+            return form_q(Y, T), jnp.triu(Ared[:k]), perm
     else:
         def one(a):
             Y, T, Ared = panel_qr_yt(a)
-            return form_q(Y, T), jnp.triu(Ared[:bc]), jnp.arange(bc)
+            return form_q(Y, T), jnp.triu(Ared[:k]), jnp.arange(bc)
 
     return jax.vmap(one)(blocks)
 
@@ -95,11 +98,14 @@ class BlockDiagonalQR(QRSolver):
     def compute(
         self, mat: BlockDiagonal, row_perm: Optional[Permutation] = None
     ) -> "BlockDiagonalQR":
-        if mat.block_rows < mat.block_cols:
-            # Landscape blocks unimplemented in the reference as well
-            # (BlockDiagonalSparseQR.h:509-516).
-            self._info = ComputationInfo.INVALID_INPUT
-            raise ValueError("landscape blocks (cols > rows) not supported")
+        # Landscape (cols > rows) blocks are supported here; the reference
+        # hard-asserts on them (BlockDiagonalSparseQR.h:509-516).  Each wide
+        # block yields a full [br, br] Q and a wide upper-trapezoidal R, so Q
+        # is block-diagonal under BOTH formats (a wide block has no orthogonal
+        # complement columns) and stacking the R rows block-by-block is already
+        # globally upper-triangular (row i*br+j has leading column >= i*bc+j).
+        # solve() returns the rank-masked basic least-squares solution.
+        self._landscape = mat.block_cols > mat.block_rows
         self._nrows = mat.nrows
         self._ncols = mat.ncols
         self._nb = mat.num_blocks
@@ -125,9 +131,13 @@ class BlockDiagonalQR(QRSolver):
         return self
 
     def r_diagonal(self) -> jnp.ndarray:
-        """diag(R) straight from the [nb, bc, bc] batch — no dense R.  Columns
-        past nb*bc (zero tail) report 0: they are genuinely rank-deficient."""
+        """Pivot diagonal of R straight from the [nb, k, bc] batch — no dense
+        R.  Portrait: [ncols] (columns past nb*bc — the zero tail — report 0:
+        they are genuinely rank-deficient).  Landscape: the nb*br leading
+        pivots (the only diagonal a wide R has)."""
         d = jnp.diagonal(self.R, axis1=1, axis2=2).reshape(-1)
+        if self._landscape:
+            return d
         if self._ncols > d.shape[0]:
             d = jnp.concatenate(
                 [d, jnp.zeros((self._ncols - d.shape[0],), d.dtype)]
@@ -155,7 +165,7 @@ class BlockDiagonalQR(QRSolver):
         nb, br, bc = self._nb, self._br, self._bc
         body = m2[: nb * br].reshape(nb, br, k)
         outb = jnp.einsum("bij,bik->bjk", self.Q, body)
-        if self.q_format == QFormat.BLOCK_DIAGONAL_Q:
+        if self.q_format == QFormat.BLOCK_DIAGONAL_Q or self._landscape:
             out = jnp.concatenate([outb.reshape(nb * br, k), m2[nb * br :]], axis=0)
         else:
             econ, comp = self._index_maps()
@@ -172,7 +182,7 @@ class BlockDiagonalQR(QRSolver):
         m2 = m[:, None] if vec else m
         k = m2.shape[1]
         nb, br, bc = self._nb, self._br, self._bc
-        if self.q_format == QFormat.BLOCK_DIAGONAL_Q:
+        if self.q_format == QFormat.BLOCK_DIAGONAL_Q or self._landscape:
             body = m2[: nb * br].reshape(nb, br, k)
             outb = jnp.einsum("bij,bjk->bik", self.Q, body)
             out = jnp.concatenate([outb.reshape(nb * br, k), m2[nb * br :]], axis=0)
@@ -188,14 +198,20 @@ class BlockDiagonalQR(QRSolver):
     # --- R --------------------------------------------------------------------------
     def matrix_r_dense(self) -> jnp.ndarray:
         nb, br, bc = self._nb, self._br, self._bc
+        k = min(br, bc)
         R = np.zeros((self._nrows, self._ncols), dtype=np.asarray(self.R).dtype)
         Rb = np.asarray(self.R)
         for i in range(nb):
-            r0 = i * bc if self.q_format == QFormat.FULL_Q else i * br
-            R[r0 : r0 + bc, i * bc : (i + 1) * bc] = Rb[i]
+            if self._landscape:
+                r0 = i * br  # both formats: stacked rows are upper-triangular
+            else:
+                r0 = i * bc if self.q_format == QFormat.FULL_Q else i * br
+            R[r0 : r0 + k, i * bc : (i + 1) * bc] = Rb[i]
         return jnp.asarray(R)
 
     def solve_r(self, y: jnp.ndarray) -> jnp.ndarray:
+        if self._landscape:
+            return self._solve_r_landscape(y)
         assert self.q_format == QFormat.FULL_Q, "solve_r requires FULL_Q"
         nb, bc = self._nb, self._bc
         yb = y[: nb * bc].reshape(nb, bc, 1)
@@ -217,6 +233,32 @@ class BlockDiagonalQR(QRSolver):
             x = jnp.concatenate([x, jnp.zeros((self._ncols - nb * bc,), x.dtype)])
         return x
 
+    @highest_precision
+    def _solve_r_landscape(self, y: jnp.ndarray) -> jnp.ndarray:
+        """Basic solution of the underdetermined per-block systems: the wide
+        [br, bc] trapezoid is embedded in a [bc, bc] triangle whose dead tail
+        rows are identity, so the masked solve supports x only on the leading
+        (pivot) columns — x beyond each block's rank is 0."""
+        nb, br, bc = self._nb, self._br, self._bc
+        yb = y[: nb * br].reshape(nb, br)
+        pad = jnp.zeros((nb, bc - br), yb.dtype)
+        rhs = jnp.concatenate([yb, pad], axis=1)  # [nb, bc]
+        eye_tail = jnp.broadcast_to(jnp.eye(bc, dtype=self.R.dtype)[br:], (nb, bc - br, bc))
+        Rsq = jnp.concatenate([self.R, eye_tail], axis=1)  # [nb, bc, bc]
+        if self.pivot:
+            def one(Rb, yk):
+                k = rank_from_diag(jnp.diagonal(Rb[:br]), br, bc)
+                return rank_masked_triangular_solve(Rb, yk, k)
+            xb = jax.vmap(one)(Rsq, rhs)
+        else:
+            xb = jax.lax.linalg.triangular_solve(
+                Rsq, rhs[..., None], left_side=True, lower=False
+            )[..., 0]
+        x = xb.reshape(nb * bc)
+        if self._ncols > nb * bc:
+            x = jnp.concatenate([x, jnp.zeros((self._ncols - nb * bc,), x.dtype)])
+        return x
+
     def cols_permutation(self) -> Permutation:
         return self._cols_perm
 
@@ -225,13 +267,15 @@ class BlockDiagonalQR(QRSolver):
 
     def matrix_r_sparse(self):
         """Sparse R in O(nnz(R)): block-diagonal of per-block upper triangles
-        (the triplets BlockDiagonalSparseQR.h:475-479 emplaces)."""
+        (the triplets BlockDiagonalSparseQR.h:475-479 emplaces).  Landscape
+        blocks contribute their wide upper trapezoids at rows ``i*br``."""
         from ..sparse import SparseCSR
 
         Rb = np.asarray(self.R)
-        nb, bc, _ = Rb.shape
-        r, c = np.triu_indices(bc)
-        rows = (np.arange(nb)[:, None] * bc + r[None, :]).ravel()
+        nb, k, bc = Rb.shape
+        r, c = np.triu_indices(k, 0, bc)
+        row_stride = self._br if self._landscape else bc
+        rows = (np.arange(nb)[:, None] * row_stride + r[None, :]).ravel()
         cols = (np.arange(nb)[:, None] * bc + c[None, :]).ravel()
         vals = Rb[:, r, c].ravel()
         keep = vals != 0.0  # reference prunes exact zeros
@@ -255,7 +299,7 @@ class BlockDiagonalQR(QRSolver):
         i = np.arange(nb)[:, None, None]
         r = np.arange(br)[None, :, None]
         rows = (i * br + r + 0 * np.arange(br)[None, None, :]).reshape(-1)
-        if self.q_format == QFormat.BLOCK_DIAGONAL_Q:
+        if self.q_format == QFormat.BLOCK_DIAGONAL_Q or self._landscape:
             c = np.arange(br)[None, None, :]
             cols = (i * br + c + 0 * r).reshape(-1)
         else:
@@ -275,10 +319,11 @@ class BlockDiagonalQR(QRSolver):
     @property
     def rank(self) -> int:
         """Exact numerical rank = sum of per-block ranks (pivot=True only;
-        without pivoting this reports cols like the reference HouseholderQR)."""
+        without pivoting this reports min(rows, cols) like the reference
+        HouseholderQR)."""
         if not self.pivot:
-            return self._ncols
+            return min(self._ncols, self._nb * self._br)
         br, bc = self._br, self._bc
-        d = jnp.diagonal(self.R, axis1=1, axis2=2)  # [nb, bc]
+        d = jnp.diagonal(self.R, axis1=1, axis2=2)  # [nb, min(br, bc)]
         ks = jax.vmap(lambda db: rank_from_diag(db, br, bc))(d)
         return int(jnp.sum(ks))

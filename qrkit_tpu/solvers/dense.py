@@ -56,9 +56,29 @@ class _DenseQRBase(QRSolver):
     def matrix_r_dense(self) -> jnp.ndarray:
         return self._R
 
+    def _square_r(self) -> jnp.ndarray:
+        """R's leading [n, n] triangle; for wide input (m < n) the trapezoid
+        is embedded in a square with identity dead tail rows so the basic
+        solution (x = 0 beyond the pivots) falls out of one triangular solve."""
+        m, n = self._m, self._n
+        if m >= n:
+            return self._R[:n, :n]
+        eye_tail = jnp.eye(n, dtype=self._R.dtype)[m:]
+        return jnp.concatenate([self._R[:m], eye_tail], axis=0)
+
+    def _padded_rhs(self, y: jnp.ndarray) -> jnp.ndarray:
+        n = self._n
+        rhs = y[:n]
+        if rhs.shape[0] < n:
+            rhs = jnp.concatenate(
+                [rhs, jnp.zeros((n - rhs.shape[0],), rhs.dtype)]
+            )
+        return rhs
+
     def solve_r(self, y: jnp.ndarray) -> jnp.ndarray:
         return jax.lax.linalg.triangular_solve(
-            self._R[: self._n, : self._n], y[:, None], left_side=True, lower=False
+            self._square_r(), self._padded_rhs(y)[:, None], left_side=True,
+            lower=False,
         )[:, 0]
 
     @staticmethod
@@ -100,13 +120,15 @@ class DenseColPivQR(_DenseQRBase):
     def solve_r(self, y: jnp.ndarray) -> jnp.ndarray:
         """Rank-aware basic solution: column pivoting clusters dead pivots at
         the tail, so the masked prefix solve is the exact LS minimizer over
-        solutions supported on the live pivot columns."""
-        n = self._n
-        R = self._R[:n, :n]
-        k = rank_from_diag(jnp.diagonal(R), self._m, self._n)
-        return rank_masked_triangular_solve(R, y[:n], k)
+        solutions supported on the live pivot columns (wide input included —
+        the trapezoid embeds in a square with identity dead rows)."""
+        R = self._square_r()
+        k = rank_from_diag(
+            jnp.diagonal(self._R[: min(self._m, self._n)]), self._m, self._n
+        )
+        return rank_masked_triangular_solve(R, self._padded_rhs(y), k)
 
     @property
     def rank(self) -> int:
-        d = jnp.diagonal(self._R[: self._n, : self._n])
+        d = jnp.diagonal(self._R[: min(self._m, self._n)])
         return int(rank_from_diag(d, self._m, self._n))

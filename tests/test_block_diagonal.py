@@ -92,10 +92,16 @@ def test_zero_tail_rows(rng):
     assert np.allclose(Q[21:, 21:], np.eye(4), atol=1e-12)
 
 
-def test_landscape_rejected(rng):
+def test_landscape_supported(rng):
+    """Wide (cols > rows) blocks factorize here — the reference hard-asserts
+    on them (BlockDiagonalSparseQR.h:509-516); full coverage in
+    test_landscape.py."""
     blk = BlockDiagonal.from_dense_batch(rng.normal(size=(4, 2, 3)))
-    with pytest.raises(ValueError):
-        BlockDiagonalQR().compute(blk)
+    qr = BlockDiagonalQR().compute(blk)
+    dense = blk.to_dense()
+    Q = np.asarray(qr.matrix_q_dense())
+    R = np.asarray(qr.matrix_r_dense())
+    assert np.allclose(Q @ R, dense[:, qr.cols_permutation().indices], atol=1e-9)
 
 
 def test_matrix_rhs(spj, rng):
