@@ -52,17 +52,9 @@ def block_diagonal_factorize(blocks: jnp.ndarray, pivot: bool = False):
     return _blockdiag_qr(blocks, pivot)
 
 
-@functools.partial(jax.jit, static_argnames=("pivot",))
 @highest_precision
-def block_diagonal_lstsq(blocks: jnp.ndarray, b: jnp.ndarray, pivot: bool = False):
-    """Fused factorize + least-squares solve for a block-diagonal system.
-
-    The flagship pipeline (BASELINE.json config 2): one compiled program doing
-    batched compact-WY QR, batched Qᵀb (applied through the implicit Y/T
-    factors — the [nb, br, br] explicit Q is never materialized, saving
-    ~br/bc × the HBM traffic), batched triangular solve, and the pivot
-    back-permutation.  ``b`` is [nb*br] (+ ignored tail rows allowed).
-    """
+def _block_diagonal_lstsq_primal(blocks, b, pivot: bool):
+    """Shared primal: returns (x [nb*bc], R [nb,bc,bc], lperm [nb,bc])."""
     nb, br, bc = blocks.shape
     bb = b[: nb * br].reshape(nb, br, 1)
     if pivot:
@@ -83,25 +75,76 @@ def block_diagonal_lstsq(blocks: jnp.ndarray, b: jnp.ndarray, pivot: bool = Fals
     ]
     if pivot:
         x = jax.vmap(lambda xb, p: jnp.zeros_like(xb).at[p].set(xb))(x, lperm)
-    return x.reshape(nb * bc)
+    return x.reshape(nb * bc), R, lperm
 
 
-@functools.partial(jax.jit, static_argnames=("n_shards", "tail"))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _block_diagonal_lstsq(blocks, b, pivot):
+    return _block_diagonal_lstsq_primal(blocks, b, pivot)[0]
+
+
+def _block_diagonal_lstsq_fwd(blocks, b, pivot):
+    x, R, lperm = _block_diagonal_lstsq_primal(blocks, b, pivot)
+    return x, (blocks, b, x, R, lperm)
+
+
 @highest_precision
-def block_angular_lstsq(
-    left_blocks: jnp.ndarray,  # [nb, br, bc] block-diagonal A1 body
-    right: jnp.ndarray,  # [nb*br + tail, m2] dense A2 (tail rows below the blocks)
-    b: jnp.ndarray,  # [nb*br + tail]
-    n_shards: int = 1,
-    tail: int = 0,
-):
-    """Fused block-angular LS solve: vmapped left QR + TSQR right + block
-    back-substitution — the whole damped-LM step as one compiled program.
-
-    Sharding story: shard ``left_blocks`` (and the corresponding row-batches of
-    ``right``/``b``) over the mesh's data-parallel axis; the only collective is
-    the all-gather inside the TSQR second stage.
+def _block_diagonal_lstsq_bwd(pivot, res, g):
+    """Implicit-function-theorem VJP of x* = argmin ||Ax - b|| (full-rank A):
+    with u = (AᵀA)⁻¹ḡ (two triangular solves against the saved R),
+    ∂b = A u  and  ∂A = r uᵀ − (A u) x*ᵀ  with r = b − A x* — per block, so
+    the whole backward pass is a handful of batched einsums at the cost of
+    one extra solve, never differentiating through the factorization itself.
     """
+    blocks, b, x, R, lperm = res
+    nb, br, bc = blocks.shape
+    gB = g.reshape(nb, bc)
+    xB = x.reshape(nb, bc)
+    # to permuted column order (A[:, perm] = Q R => AᵀA = S RᵀR Sᵀ)
+    g_p = jnp.take_along_axis(gB, lperm, axis=1) if pivot else gB
+    w = jax.lax.linalg.triangular_solve(
+        R, g_p[..., None], left_side=True, lower=False, transpose_a=True
+    )
+    u_p = jax.lax.linalg.triangular_solve(
+        R, w, left_side=True, lower=False
+    )[..., 0]
+    u = (
+        jax.vmap(lambda ub, p: jnp.zeros_like(ub).at[p].set(ub))(u_p, lperm)
+        if pivot
+        else u_p
+    )
+    Au = jnp.einsum("bij,bj->bi", blocks, u)
+    r = b[: nb * br].reshape(nb, br) - jnp.einsum("bij,bj->bi", blocks, xB)
+    g_blocks = jnp.einsum("bi,bj->bij", r, u) - jnp.einsum("bi,bj->bij", Au, xB)
+    g_b = jnp.zeros_like(b).at[: nb * br].set(Au.reshape(nb * br))
+    return g_blocks, g_b
+
+
+_block_diagonal_lstsq.defvjp(_block_diagonal_lstsq_fwd, _block_diagonal_lstsq_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("pivot",))
+@highest_precision
+def block_diagonal_lstsq(blocks: jnp.ndarray, b: jnp.ndarray, pivot: bool = False):
+    """Fused factorize + least-squares solve for a block-diagonal system.
+
+    The flagship pipeline (BASELINE.json config 2): one compiled program doing
+    batched compact-WY QR, batched Qᵀb (applied through the implicit Y/T
+    factors — the [nb, br, br] explicit Q is never materialized, saving
+    ~br/bc × the HBM traffic), batched triangular solve, and the pivot
+    back-permutation.  ``b`` is [nb*br] (+ ignored tail rows allowed).
+
+    Differentiable: reverse-mode AD uses an implicit-function-theorem custom
+    VJP (gradients w.r.t. ``blocks`` and ``b`` via one extra pair of
+    triangular solves against the already-computed R — the factorization is
+    never unrolled).  Gradients assume full-rank blocks; the reference, being
+    a C++ library, has no AD story at all.
+    """
+    return _block_diagonal_lstsq(blocks, b, pivot)
+
+
+@highest_precision
+def _block_angular_lstsq_primal(left_blocks, right, b, n_shards: int, tail: int):
     nb, br, bc = left_blocks.shape
     m1 = nb * bc
     m2 = right.shape[1]
@@ -145,7 +188,91 @@ def block_angular_lstsq(
     x1 = jax.lax.linalg.triangular_solve(R1, rhs1, left_side=True, lower=False).reshape(
         nb * bc
     )
-    return jnp.concatenate([x1, x2])
+    return jnp.concatenate([x1, x2]), R1, r12, R2
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _block_angular_lstsq(left_blocks, right, b, n_shards, tail):
+    return _block_angular_lstsq_primal(left_blocks, right, b, n_shards, tail)[0]
+
+
+def _block_angular_lstsq_fwd(left_blocks, right, b, n_shards, tail):
+    x, R1, r12, R2 = _block_angular_lstsq_primal(
+        left_blocks, right, b, n_shards, tail
+    )
+    return x, (left_blocks, right, b, x, R1, r12, R2)
+
+
+@highest_precision
+def _block_angular_lstsq_bwd(n_shards, tail, res, g):
+    """Implicit-diff VJP through the composite [A1 | A2] least squares.
+
+    u = (AᵀA)⁻¹ḡ via forward+back substitution on the composite
+    R = [[R1, R12], [0, R2]] (all factors saved from the forward pass), then
+    ∂b = A u, ∂A1 = per-block (r u1ᵀ − (Au) x1ᵀ), ∂A2 = r u2ᵀ − (Au) x2ᵀ.
+    """
+    left_blocks, right, b, x, R1, r12, R2 = res
+    nb, br, bc = left_blocks.shape
+    m1 = nb * bc
+    m2 = right.shape[1]
+    x1 = x[:m1].reshape(nb, bc)
+    x2 = x[m1:]
+    g1 = g[:m1].reshape(nb, bc)
+    g2 = g[m1:]
+    # Rᵀ w = g  (block forward substitution)
+    w1 = jax.lax.linalg.triangular_solve(
+        R1, g1[..., None], left_side=True, lower=False, transpose_a=True
+    )[..., 0]
+    w2 = jax.lax.linalg.triangular_solve(
+        R2, (g2 - r12.T @ w1.reshape(m1))[:, None],
+        left_side=True, lower=False, transpose_a=True,
+    )[:, 0]
+    # R u = w  (block back substitution)
+    u2 = jax.lax.linalg.triangular_solve(
+        R2, w2[:, None], left_side=True, lower=False
+    )[:, 0]
+    u1 = jax.lax.linalg.triangular_solve(
+        R1, (w1.reshape(m1) - r12 @ u2).reshape(nb, bc, 1),
+        left_side=True, lower=False,
+    )[..., 0]
+    # A u and the residual r = b - A x over all rows (incl. the tail)
+    A1u = jnp.einsum("bij,bj->bi", left_blocks, u1).reshape(nb * br)
+    A1x = jnp.einsum("bij,bj->bi", left_blocks, x1).reshape(nb * br)
+    pad = jnp.zeros((tail,), A1u.dtype)
+    Au = jnp.concatenate([A1u, pad]) + right @ u2
+    r = b - (jnp.concatenate([A1x, pad]) + right @ x2)
+    g_left = jnp.einsum("bi,bj->bij", r[: nb * br].reshape(nb, br), u1) - jnp.einsum(
+        "bi,bj->bij", Au[: nb * br].reshape(nb, br), x1
+    )
+    g_right = jnp.outer(r, u2) - jnp.outer(Au, x2)
+    return g_left, g_right, Au
+
+
+_block_angular_lstsq.defvjp(_block_angular_lstsq_fwd, _block_angular_lstsq_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("n_shards", "tail"))
+@highest_precision
+def block_angular_lstsq(
+    left_blocks: jnp.ndarray,  # [nb, br, bc] block-diagonal A1 body
+    right: jnp.ndarray,  # [nb*br + tail, m2] dense A2 (tail rows below the blocks)
+    b: jnp.ndarray,  # [nb*br + tail]
+    n_shards: int = 1,
+    tail: int = 0,
+):
+    """Fused block-angular LS solve: vmapped left QR + TSQR right + block
+    back-substitution — the whole damped-LM step as one compiled program.
+
+    Sharding story: shard ``left_blocks`` (and the corresponding row-batches of
+    ``right``/``b``) over the mesh's data-parallel axis; the only collective is
+    the all-gather inside the TSQR second stage.
+
+    Differentiable: reverse-mode AD runs an implicit-function-theorem custom
+    VJP against the saved composite R factors (one extra forward+back
+    substitution), never unrolling the QR/TSQR — gradients of the damped-LM
+    step w.r.t. Jacobian blocks, the dense right block, and the RHS.
+    """
+    return _block_angular_lstsq(left_blocks, right, b, n_shards, tail)
 
 
 def _soa_tall_qr_solve(X: jnp.ndarray, y: jnp.ndarray, m2: int):
