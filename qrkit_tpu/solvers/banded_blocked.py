@@ -222,6 +222,17 @@ def _shift_panels(panels, carry_rows, nrows_a, max_active: int):
     )
 
 
+@jax.jit
+def _gather_panels(data: jnp.ndarray, gmap: jnp.ndarray) -> jnp.ndarray:
+    """Device-side panel extraction: sentinel index nnz reads the appended 0.
+
+    Through a remote-accelerator tunnel this is the difference between
+    shipping the raw nnz data vector (contiguous, small) and shipping padded
+    dense panels (pad_rows*pad_cols per block) every factorize."""
+    pad = jnp.concatenate([data, jnp.zeros((1,), data.dtype)])
+    return pad[gmap]
+
+
 @functools.partial(jax.jit, static_argnames=("max_emit", "max_cols"))
 @highest_precision
 def _banded_solve_chunk(
@@ -395,6 +406,7 @@ class BandedBlockedQR(QRSolver):
             jnp.asarray(g["emit_rows"]),
             jnp.asarray(g["ncols"]),
         )
+        self._panel_gmap = None  # pattern gather map, built at first factorize
         self._analysis_ok = True
         return self
 
@@ -407,12 +419,20 @@ class BandedBlockedQR(QRSolver):
             else mat
         )
         g = self.geom
-        panels = pmat.blocks_dense(
-            [b.astuple() for b in self.plan.blocks], self._mR, self._max_cols
-        )
         dtype = np.float64 if jax.config.jax_enable_x64 else np.float32
+        if self._panel_gmap is None:
+            # pattern-only; device-resident for the lifetime of the plan
+            self._panel_gmap = jnp.asarray(
+                pmat.panels_gather_map(
+                    [b.astuple() for b in self.plan.blocks],
+                    self._mR, self._max_cols,
+                )
+            )
+        # per-factorize upload: ONLY the raw data vector (contiguous); panels
+        # materialize on device through the cached gather map
+        data_dev = jnp.asarray(np.asarray(pmat.data, dtype))
         self.q_seq, self.r_panels = banded_factorize(
-            jnp.asarray(np.asarray(panels, dtype)),
+            _gather_panels(data_dev, self._panel_gmap),
             self._geom_dev,
             max_active=self._max_active,
             max_cols=self._max_cols,

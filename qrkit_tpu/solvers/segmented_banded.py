@@ -48,7 +48,7 @@ import numpy as np
 
 from ..analysis import as_banded_as_possible, block_banded_info, from_block_banded_pattern
 from ..ops.compact_wy import TwoSegmentWYSeq
-from ..ops.householder import highest_precision
+from ..ops.householder import highest_precision, panel_qr_yt
 from ..sparse import Permutation, SparseCSR
 from .banded_blocked import _banded_factorize_chunk, _banded_solve_chunk, banded_geometry
 from .base import ComputationInfo, QRSolver
@@ -61,6 +61,14 @@ def _vmapped_chain(C0, shifted, col_inc, active, **kw):
     """vmap of the banded scan chunk over the segment axis."""
     f = lambda c, s, ci, a: _banded_factorize_chunk(c, s, ci, a, **kw)
     return jax.vmap(f)(C0, shifted, col_inc, active)
+
+
+@functools.partial(jax.jit, static_argnames=("transpose",))
+@highest_precision
+def _batched_wy(Y, T, M, transpose: bool):
+    """Batched compact-WY apply: M + Y ((T or Tᵀ) (Yᵀ M)) over a leading axis."""
+    Tt = jnp.swapaxes(T, 1, 2) if transpose else T
+    return M + Y @ (Tt @ (jnp.swapaxes(Y, 1, 2) @ M))
 
 
 @functools.partial(jax.jit, static_argnames=("h1", "transpose", "vec"))
@@ -182,6 +190,8 @@ class SegmentedBandedQR(QRSolver):
         for attr in ("_seg_gather", "_col_gather", "_fac_fn", "_solve_fn"):
             if hasattr(self, attr):
                 delattr(self, attr)
+        self._panel_gmap = None
+        self._slab_gmap = None
         self._prepare_segmentation()
         self._analysis_ok = True
         return self
@@ -340,14 +350,22 @@ class SegmentedBandedQR(QRSolver):
             )
         self._rbot = rbot
         rbot_max = max(rbot)
+        self._rbot_max = rbot_max
         cum = np.concatenate([[0], np.cumsum(rbot)])
         self._nbot = int(cum[-1])
+        # CAQR-style compression: each segment's [rbot, 2o] bottom slab is
+        # first reduced by ONE vmapped QR to its [2o, 2o] R factor, and the
+        # recursive boundary chain runs over those tiny factors — S sequential
+        # steps on [3o, 2o]-ish panels instead of [rbot + o, 2o] ones, and the
+        # per-segment reduction is batch-parallel (and shard-parallel across
+        # chips).  Q composes as blockdiag(Qb_s) · Q_chain.
+        self._nbot2 = S * 2 * o
         chain_blocks = []
         for si in range(S):
             c0b = max(0, si - 1) * o
             ncb = min(2 * o, self._m2 - c0b) if 0 < si < S - 1 else o
-            chain_blocks.append(_BI(int(cum[si]), int(c0b), int(rbot[si]), int(ncb)))
-        chain_plan = _SP(self._nbot, self._m2, tuple(chain_blocks))
+            chain_blocks.append(_BI(si * 2 * o, int(c0b), 2 * o, int(ncb)))
+        chain_plan = _SP(self._nbot2, self._m2, tuple(chain_blocks))
         cg = banded_geometry(chain_plan)
         self._chain_geom = cg
         self._chain_geom_dev = {
@@ -381,7 +399,24 @@ class SegmentedBandedQR(QRSolver):
             np.arange(S)[:, None] * o + np.arange(2 * o)[None, :]
         )
         self._seg_row0_arr = np.asarray(self._seg_row0)
-        self._slab_map = None  # built on first factorize, reused per plan
+
+        # bottom-region maps for the compressed (CAQR) boundary reduction:
+        # the [nbot] bottom vector (segment-major rbot[s] rows each) maps to a
+        # padded [S, rbot_max] batch for the vmapped Qb applies; after Qbᵀ the
+        # leading 2o rows of each segment feed the chain (positions [0, S·2o)
+        # of the output) and the remaining rows pass through behind them.
+        rg = np.full((S, rbot_max), self._nbot, dtype=np.int64)
+        for s in range(S):
+            rg[s, : rbot[s]] = int(cum[s]) + np.arange(rbot[s])
+        rest_w = max(rbot_max - 2 * o, 1)
+        cum_rest = np.concatenate([[0], np.cumsum([r - 2 * o for r in rbot])])
+        rp = np.full((S, rest_w), self._nbot, dtype=np.int64)
+        for s in range(S):
+            n = rbot[s] - 2 * o
+            rp[s, :n] = self._nbot2 + int(cum_rest[s]) + np.arange(n)
+        self._rbot_gather = jnp.asarray(rg)
+        self._rbot_valid = jnp.asarray(rg < self._nbot)
+        self._rest_pos = jnp.asarray(rp)
 
     def compute(self, mat: SparseCSR, force_pattern_analysis: bool = False):
         if not self._analysis_ok or force_pattern_analysis:
@@ -398,15 +433,18 @@ class SegmentedBandedQR(QRSolver):
             else mat
         )
         mR, max_cols = self._mRloc, self._max_cols
-        panels = pmat.blocks_dense(self._block_list, mR, max_cols).reshape(
-            S, L, mR, max_cols
-        )
 
-        # boundary slabs A_B as [S, seg_rows(pad), 2o] — O(nnz) gather into the
-        # structured form (a segment's rows touch only its leading/trailing
-        # boundary group); the index map is pattern-only and cached per plan
+        # pattern-only gather maps, built once per plan and kept on device:
+        # interior panels [S*L, mR, max_cols] and boundary slabs A_B
+        # [S, seg_rows(pad), 2o] (a segment's rows touch only its own two
+        # adjacent boundary-column groups) both extract from the raw data
+        # vector with a single device gather — per factorize, ONLY that
+        # contiguous vector crosses the host->device tunnel
         o = self._overlap
-        if self._slab_map is None:
+        if self._slab_gmap is None:
+            self._panel_gmap = jnp.asarray(
+                pmat.panels_gather_map(self._block_list, mR, max_cols)
+            )
             col_pos = np.full(self._ncols, -1, dtype=np.int64)
             col_pos[self._bcols_idx] = np.arange(self._m2)
             row_ids = np.repeat(np.arange(self._nrows), np.diff(pmat.indptr))
@@ -419,27 +457,21 @@ class SegmentedBandedQR(QRSolver):
             lead = seg_of == seam
             ok = lead | (seg_of == seam - 1)  # non-adjacent rows cannot occur
             slabcol = np.where(lead, b_s % o, o + b_s % o)
-            self._slab_map = (
-                sel,
-                seg_of[ok],
-                (r_s - self._seg_row0_arr[seg_of])[ok],
-                slabcol[ok],
-                ok,
-            )
-        sel, seg_ok, lr_ok, sc_ok, ok = self._slab_map
-        slab = np.zeros((S, self._max_seg_rows, 2 * o))
-        slab[seg_ok, lr_ok, sc_ok] = pmat.data[sel][ok]
+            gm = np.full((S, self._max_seg_rows, 2 * o), pmat.nnz, dtype=np.int64)
+            gm[
+                seg_of[ok], (r_s - self._seg_row0_arr[seg_of])[ok], slabcol[ok]
+            ] = np.nonzero(sel)[0][ok]
+            self._slab_gmap = jnp.asarray(gm)
 
-        # --- device phases 1-3 as ONE jitted dispatch -------------------------------
+        # --- device gather + phases 1-3 as ONE jitted dispatch ----------------------
         # eager glue between the jitted stages cost ~40 per-primitive dispatch
         # round trips through the accelerator tunnel per factorize; the whole
         # pipeline is fused into one per-plan compiled program instead
         dtype = np.float32 if not jax.config.jax_enable_x64 else np.float64
         fac = self._get_factorize_fn()
         (self._Yws, self._Ts, self._r_panels, self._j2_top,
-         self._chain_seq, self._chain_r) = fac(
-            jnp.asarray(np.asarray(panels.reshape(S * L, mR, max_cols), dtype)),
-            jnp.asarray(np.asarray(slab, dtype)),
+         self._Yb, self._Tb, self._chain_seq, self._chain_r) = fac(
+            jnp.asarray(np.asarray(pmat.data, dtype))
         )
 
         self._set_success()
@@ -460,13 +492,17 @@ class SegmentedBandedQR(QRSolver):
         colinc_d = self._colinc_d
         carry2d, active_d, rows2d = self._carry2d, self._active_d, self._rows2d
         top_valid, bot_idx, bot_valid = self._top_valid, self._bot_idx, self._bot_valid
-        chain_geom, nbot = self._chain_geom_dev, self._nbot
+        chain_geom, nbot2 = self._chain_geom_dev, self._nbot2
         nloc_max = self._nloc_max
         h1 = kw["max_carry"]
+        panel_gmap, slab_gmap = self._panel_gmap, self._slab_gmap
 
         @jax.jit
-        def fac(pj, slab):
-            dtype = pj.dtype
+        def fac(data):
+            dtype = data.dtype
+            pad = jnp.concatenate([data, jnp.zeros((1,), dtype)])
+            pj = pad[panel_gmap]  # [S*L, mR, max_cols]
+            slab = pad[slab_gmap]  # [S, seg_rows(pad), 2o]
             shifted = _shift_panels(pj, carry_d, nrows_d, kw["max_active"]).reshape(
                 S, L, kw["max_active"], max_cols
             )
@@ -490,10 +526,15 @@ class SegmentedBandedQR(QRSolver):
             # chain block 0 has no leading boundary: its local columns are the
             # trailing slab columns (the wrapped leading part is zero)
             bot = bot.at[0].set(jnp.roll(bot[0], -o, axis=-1))
+            # CAQR compression: ONE vmapped QR reduces each [rbot, 2o] slab to
+            # its [2o, 2o] R factor — batch-parallel (and shard-parallel) —
+            # so the sequential boundary chain runs over tiny factors
+            Yb, Tb, Rb = jax.vmap(panel_qr_yt)(bot)
+            comp = jnp.triu(Rb[:, : 2 * o])
             chain_seq, chain_r = banded_factorize(
-                bot[..., : ckw["max_cols"]], chain_geom, **ckw, m=nbot
+                comp[..., : ckw["max_cols"]], chain_geom, **ckw, m=nbot2
             )
-            return Yws, Ts, Vs, j2_top, chain_seq, chain_r
+            return Yws, Ts, Vs, j2_top, Yb, Tb, chain_seq, chain_r
 
         self._fac_fn = fac
         return fac
@@ -595,6 +636,47 @@ class SegmentedBandedQR(QRSolver):
         scatter = scatter.at[self._seg_gather.reshape(-1)].set(flat, mode="drop")
         return scatter[:, 0] if vec else scatter
 
+    # --- bottom-region Q (compressed boundary reduction) -------------------------
+    def _bot_qt(self, v2: jnp.ndarray) -> jnp.ndarray:
+        """blockdiag(Qbᵀ) then chain Qᵀ on the [nbot, k] bottom region;
+        output rows: chain coordinates (R2 rows first) then pass-through."""
+        o = self._overlap
+        k = v2.shape[1]
+        w = jnp.where(
+            self._rbot_valid[..., None],
+            v2[jnp.clip(self._rbot_gather, 0, self._nbot - 1)],
+            jnp.zeros((), v2.dtype),
+        )  # [S, rbot_max, k]
+        w = _batched_wy(self._Yb, self._Tb, w, True)
+        z = self._chain_seq.apply_qt(w[:, : 2 * o].reshape(self._nbot2, k))
+        out = jnp.zeros((self._nbot, k), v2.dtype)
+        out = out.at[: self._nbot2].set(z)
+        if self._rbot_max > 2 * o:
+            out = out.at[self._rest_pos.reshape(-1)].set(
+                w[:, 2 * o :].reshape(-1, k), mode="drop"
+            )
+        return out
+
+    def _bot_q(self, v2: jnp.ndarray) -> jnp.ndarray:
+        """Inverse of :meth:`_bot_qt`: chain Q, then blockdiag(Qb)."""
+        o = self._overlap
+        k = v2.shape[1]
+        z = self._chain_seq.apply_q(v2[: self._nbot2]).reshape(self.S, 2 * o, k)
+        if self._rbot_max > 2 * o:
+            rest = jnp.where(
+                (self._rest_pos < self._nbot)[..., None],
+                v2[jnp.clip(self._rest_pos, 0, self._nbot - 1)],
+                jnp.zeros((), v2.dtype),
+            )
+            w = jnp.concatenate([z, rest], axis=1)
+        else:
+            w = z
+        w = _batched_wy(self._Yb, self._Tb, w, False)
+        out = jnp.zeros((self._nbot, k), v2.dtype)
+        return out.at[self._rbot_gather.reshape(-1)].set(
+            w.reshape(-1, k), mode="drop"
+        )
+
     # --- QRSolver interface -----------------------------------------------------
     def apply_qt(self, m: jnp.ndarray) -> jnp.ndarray:
         if self._delegate is not None:
@@ -602,7 +684,7 @@ class SegmentedBandedQR(QRSolver):
         vec = m.ndim == 1
         m2 = m[:, None] if vec else m
         top = self._apply_left_qt(m2)
-        bottom = self._chain_seq.apply_qt(top[self._m1 :])
+        bottom = self._bot_qt(top[self._m1 :])
         out = jnp.concatenate([top[: self._m1], bottom], axis=0)
         return out[:, 0] if vec else out
 
@@ -611,7 +693,7 @@ class SegmentedBandedQR(QRSolver):
             return self._delegate.apply_q(m)
         vec = m.ndim == 1
         m2 = m[:, None] if vec else m
-        bottom = self._chain_seq.apply_q(m2[self._m1 :])
+        bottom = self._bot_q(m2[self._m1 :])
         full = jnp.concatenate([m2[: self._m1], bottom], axis=0)
         out = self._apply_left_q(full)
         return out[:, 0] if vec else out
@@ -689,8 +771,8 @@ class SegmentedBandedQR(QRSolver):
         if self._delegate is not None:
             return self._delegate.solve(b)
         return self._get_solve_fn()(
-            self._Yws, self._Ts, self._chain_seq, self._chain_r,
-            self._j2_top, self._r_panels, b,
+            self._Yws, self._Ts, self._Yb, self._Tb, self._chain_seq,
+            self._chain_r, self._j2_top, self._r_panels, b,
         )
 
     def _get_solve_fn(self):
@@ -723,9 +805,11 @@ class SegmentedBandedQR(QRSolver):
         nrows_tot, max_emit = self._nrows, self._max_emit
         perm = self._cols_perm
         gather_cols = None if perm.is_identity() else jnp.asarray(perm.gather_indices())
+        rbot_gather, rbot_valid = self._rbot_gather, self._rbot_valid
+        nbot, nbot2 = self._nbot, self._nbot2
 
         @jax.jit
-        def sol(Yws, Ts, chain_seq, chain_r, j2_top, r_panels, b):
+        def sol(Yws, Ts, Yb, Tb, chain_seq, chain_r, j2_top, r_panels, b):
             dt = b.dtype
             # Q1ᵀ b (per-segment), reordered R-rows-first
             v2 = b[:, None]
@@ -739,8 +823,16 @@ class SegmentedBandedQR(QRSolver):
             scat = jnp.zeros((nrows_tot, 1), dt)
             scat = scat.at[seg_gather.reshape(-1)].set(flat, mode="drop")
             top = scat[row_order][:, 0]
-            # boundary chain Qᵀ + back-substitution
-            ybot = chain_seq.apply_qt(top[m1:])
+            # compressed boundary reduction Qᵀ + back-substitution: only the
+            # chain-space rows matter for x2, so the pass-through rows of the
+            # full _bot_qt are skipped here
+            w = jnp.where(
+                rbot_valid[..., None],
+                top[m1:][jnp.clip(rbot_gather, 0, nbot - 1)][..., None],
+                jnp.zeros((), dt),
+            )
+            w = _batched_wy(Yb, Tb, w, True)
+            ybot = chain_seq.apply_qt(w[:, : 2 * o, 0].reshape(nbot2))
             x2 = banded_solve_r(
                 chain_r, cols_d, emit_d, ncols_d, ybot[:m2],
                 max_emit=ckw["max_emit"], max_cols=ckw["max_cols"], n=m2,

@@ -234,6 +234,48 @@ class SparseCSR:
             out[k, :nr, :nc] = self.block_dense(r0, c0, nr, nc)
         return out
 
+    def panels_gather_map(self, blocks, pad_rows: int, pad_cols: int) -> np.ndarray:
+        """Pattern-only index map for ON-DEVICE panel extraction.
+
+        Returns int64 ``[nb, pad_rows, pad_cols]`` with ``map[k, r, c]`` = the
+        index into ``self.data`` of panel entry (r, c) of block k, or ``nnz``
+        (sentinel) for structural zeros — so
+        ``concat([data, [0]])[map] == blocks_dense(blocks, ...)``.
+
+        Why: through a remote-accelerator tunnel, re-uploading padded dense
+        panels per factorize costs pad_rows*pad_cols/nnz-per-block times the
+        bytes of the raw data vector; with this map (built once per plan and
+        kept device-resident) each factorize ships only ``data`` and the
+        extraction is a single device gather.
+
+        Requires the blocks' ROW ranges to be pairwise disjoint (true of every
+        banded/segment plan: blocks overlap in columns, never rows); entries
+        outside their row-block's column span are dropped, exactly as
+        :meth:`blocks_dense` drops them.
+        """
+        nnz = self.nnz
+        gm = np.full((len(blocks), pad_rows, pad_cols), nnz, dtype=np.int64)
+        if not len(blocks) or nnz == 0:
+            return gm
+        binfo = np.asarray([tuple(b) for b in blocks], dtype=np.int64)
+        r0, c0, nr, nc = binfo.T
+        live = np.nonzero(nr > 0)[0]
+        order = live[np.argsort(r0[live], kind="stable")]
+        starts = r0[order]
+        row_ids = np.repeat(np.arange(self.nrows), np.diff(self.indptr))
+        pos = np.searchsorted(starts, row_ids, side="right") - 1
+        has_blk = pos >= 0
+        b = order[np.clip(pos, 0, None)]
+        lr = row_ids - r0[b]
+        lc = self.indices - c0[b]
+        good = (
+            has_blk
+            & (lr < nr[b]) & (lr < pad_rows)
+            & (lc >= 0) & (lc < nc[b]) & (lc < pad_cols)
+        )
+        gm[b[good], lr[good], lc[good]] = np.nonzero(good)[0]
+        return gm
+
     def hstack_dense_block(self, c0: int, nc: int) -> np.ndarray:
         return self.block_dense(0, c0, self.nrows, nc)
 

@@ -156,3 +156,20 @@ def test_carry_pad_bounded_by_block_cols(rng):
     qr = _check_banded(spj, rng, suggested=8)
     assert qr._max_carry <= qr._max_cols
     assert qr._max_active <= qr._mR + qr._max_cols
+
+
+def test_panels_gather_map_parity(rng):
+    """Device-side panel extraction (pattern gather map over the raw data
+    vector) must reproduce blocks_dense exactly — the per-factorize transfer
+    optimization both banded solvers rely on."""
+    from generators import overlapping_block_diagonal_matrix
+
+    mat = overlapping_block_diagonal_matrix(40, 140, rng, permute_rows=False)
+    blocks = [(i * 7, i * 2, 7, 4 if i < 19 else 2) for i in range(20)]
+    gm = mat.panels_gather_map(blocks, 7, 4)
+    pad = np.concatenate([mat.data, [0.0]])
+    assert np.array_equal(pad[gm], mat.blocks_dense(blocks, 7, 4))
+    # padding blocks (nr == 0) must stay all-sentinel
+    gm2 = mat.panels_gather_map(blocks + [(0, 0, 0, 0)], 7, 4)
+    assert np.all(gm2[-1] == mat.nnz)
+    assert np.array_equal(gm2[:-1], gm)
