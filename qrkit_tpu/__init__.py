@@ -42,6 +42,7 @@ from .solvers import (
     QRSolver,
     SegmentedBandedQR,
 )
+from .auto import auto_qr
 from .lm import LMConfig, LMResult, levenberg_marquardt
 from .persist import load_analysis, plan_from_json, plan_to_json, save_analysis
 from .profiling import Timer, timed, trace
@@ -71,6 +72,7 @@ __all__ = [
     "QFormat",
     "QRSolver",
     "SegmentedBandedQR",
+    "auto_qr",
     "LMConfig",
     "LMResult",
     "levenberg_marquardt",
