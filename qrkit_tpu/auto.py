@@ -84,6 +84,9 @@ class ColumnSplitQR(QRSolver):
     def matrix_r_sparse(self):
         return self.inner.matrix_r_sparse()
 
+    def matrix_q_sparse(self):
+        return self.inner.matrix_q_sparse()  # Q unaffected by column perms
+
     def solve_r(self, y):
         return self.inner.solve_r(y)
 

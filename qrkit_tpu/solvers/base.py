@@ -183,3 +183,27 @@ class QRSolver(abc.ABC):
     def matrix_q_dense(self) -> jnp.ndarray:
         """Explicit dense Q (tests only) = apply_q(I)."""
         return self.apply_q(jnp.eye(self.rows, dtype=self.matrix_r_dense().dtype))
+
+    def matrix_q_sparse(self):
+        """Explicit sparse Q.  Structured solvers override with O(nnz(Q))
+        exports (two-shifted-diagonal / chunked Q·I); this default goes
+        through chunked dense application — fine for the dense/thin solvers
+        whose Q is genuinely dense."""
+        from ..sparse import SparseCSR
+
+        m = self.rows
+        dt = self.matrix_r_dense().dtype
+        rows_l, cols_l, vals_l = [], [], []
+        chunk = 512
+        for c0 in range(0, m, chunk):
+            k = min(chunk, m - c0)
+            slab = jnp.zeros((m, k), dt).at[c0 + jnp.arange(k), jnp.arange(k)].set(1.0)
+            q = np.asarray(self.apply_q(slab))
+            r, c = np.nonzero(q)
+            rows_l.append(r)
+            cols_l.append(c + c0)
+            vals_l.append(q[r, c])
+        return SparseCSR.from_triplets(
+            np.concatenate(rows_l), np.concatenate(cols_l),
+            np.concatenate(vals_l), (m, m),
+        )

@@ -63,6 +63,52 @@ def _vmapped_chain(C0, shifted, col_inc, active, **kw):
     return jax.vmap(f)(C0, shifted, col_inc, active)
 
 
+@functools.partial(jax.jit, static_argnames=("h1",))
+@highest_precision
+def _segment_apply_qt_cols(Yws, Ts, s1, s2, split, vt, h1: int):
+    """Per-segment two-segment Qᵀ apply on LANE-MAJOR operands [S, k, rows].
+
+    Same math as :func:`_segment_apply` with ``transpose=True``, but the
+    operand is stored transposed so the long row axis sits in TPU lanes: a
+    [seg_rows, 2o] slab has minor dim 2o ≪ 128 and is physically padded 16×
+    in HBM/VMEM; as [2o, seg_rows] the padding is gone and every per-step
+    dynamic slice/update moves 15× fewer bytes.  Used on the factorize path
+    (Qᵀ·A_B); vector applies keep the row-major form.
+    """
+    S, k, R = vt.shape
+    A = Yws.shape[2]
+    jA = jax.lax.broadcasted_iota(jnp.int32, (A,), 0)
+    j1 = jax.lax.broadcasted_iota(jnp.int32, (h1,), 0)
+
+    def one(Y, T, a1, a2, sp, v):
+        vp = jnp.concatenate([v, jnp.zeros((k, h1 + A), v.dtype)], axis=1)
+
+        def body(carry, blk):
+            Yk, Tk, s1v, s2v, spv = blk
+            zero = jnp.zeros((), s1v.dtype)
+            w1 = jax.lax.dynamic_slice(carry, (zero, s1v), (k, h1))
+            w2 = jax.lax.dynamic_slice(carry, (zero, s2v), (k, A))
+            wg = jnp.where(
+                (jA < spv)[None, :],
+                w1[:, jnp.clip(jA, 0, h1 - 1)],
+                w2[:, jnp.clip(jA - spv, 0, A - 1)],
+            )
+            # (Y (Tᵀ (Yᵀ w)))ᵀ = wᵀ Y T Yᵀ
+            wg = wg + ((wg @ Yk) @ Tk) @ Yk.T
+            w1o = jnp.where((j1 < spv)[None, :], wg[:, jnp.clip(j1, 0, A - 1)], w1)
+            w2o = jnp.where(
+                (jA + spv < A)[None, :], wg[:, jnp.clip(jA + spv, 0, A - 1)], w2
+            )
+            carry = jax.lax.dynamic_update_slice(carry, w1o, (zero, s1v))
+            carry = jax.lax.dynamic_update_slice(carry, w2o, (zero, s2v))
+            return carry, None
+
+        out, _ = jax.lax.scan(body, vp, (Y, T, a1, a2, sp))
+        return out[:, :R]
+
+    return jax.vmap(one)(Yws, Ts, s1, s2, split, vt)
+
+
 @functools.partial(jax.jit, static_argnames=("transpose",))
 @highest_precision
 def _batched_wy(Y, T, M, transpose: bool):
@@ -462,6 +508,12 @@ class SegmentedBandedQR(QRSolver):
                 seg_of[ok], (r_s - self._seg_row0_arr[seg_of])[ok], slabcol[ok]
             ] = np.nonzero(sel)[0][ok]
             self._slab_gmap = jnp.asarray(gm)
+            # lane-major variant: gathering through the transposed map yields
+            # the slab directly as [S, 2o, seg_rows] — the long axis in TPU
+            # lanes (a [seg_rows, 2o] layout pads the 2o minor dim 16× to 128)
+            self._slab_gmap_t = jnp.asarray(
+                np.ascontiguousarray(gm.transpose(0, 2, 1))
+            )
 
         # --- device gather + phases 1-3 as ONE jitted dispatch ----------------------
         # eager glue between the jitted stages cost ~40 per-primitive dispatch
@@ -478,10 +530,11 @@ class SegmentedBandedQR(QRSolver):
         return self
 
     def _get_factorize_fn(self):
-        """Per-plan jitted device pipeline: vmapped segment chains → slab Qᵀ →
-        boundary chain.  Plan metadata (device-resident index/geometry arrays)
-        is closed over — constant across the repeated factorizations of one
-        structure (the LM pattern), so this compiles once per plan."""
+        """Per-plan jitted device pipeline: vmapped segment chains → lane-major
+        slab Qᵀ → CAQR-compressed boundary chain.  Plan metadata
+        (device-resident index/geometry arrays) is closed over — constant
+        across the repeated factorizations of one structure (the LM pattern),
+        so this compiles once per plan."""
         if getattr(self, "_fac_fn", None) is not None:
             return self._fac_fn
         from .banded_blocked import _shift_panels, banded_factorize
@@ -495,14 +548,14 @@ class SegmentedBandedQR(QRSolver):
         chain_geom, nbot2 = self._chain_geom_dev, self._nbot2
         nloc_max = self._nloc_max
         h1 = kw["max_carry"]
-        panel_gmap, slab_gmap = self._panel_gmap, self._slab_gmap
+        panel_gmap, slab_gmap_t = self._panel_gmap, self._slab_gmap_t
 
         @jax.jit
         def fac(data):
             dtype = data.dtype
             pad = jnp.concatenate([data, jnp.zeros((1,), dtype)])
             pj = pad[panel_gmap]  # [S*L, mR, max_cols]
-            slab = pad[slab_gmap]  # [S, seg_rows(pad), 2o]
+            slab_t = pad[slab_gmap_t]  # [S, 2o, seg_rows(pad)] lane-major
             shifted = _shift_panels(pj, carry_d, nrows_d, kw["max_active"]).reshape(
                 S, L, kw["max_active"], max_cols
             )
@@ -511,8 +564,11 @@ class SegmentedBandedQR(QRSolver):
                 C0, shifted, colinc_d, active_d,
                 max_carry=kw["max_carry"], max_emit=kw["max_emit"],
             )
-            j2slab = _segment_apply(
-                Yws, Ts, starts, rows2d, carry2d, slab, h1, True, False
+            j2slab = jnp.swapaxes(
+                _segment_apply_qt_cols(
+                    Yws, Ts, starts, rows2d, carry2d, slab_t, h1
+                ),
+                1, 2,
             )
             j2_top = jnp.where(
                 top_valid[:, :, None], j2slab[:, :nloc_max], jnp.zeros((), dtype)
