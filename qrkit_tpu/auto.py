@@ -165,10 +165,19 @@ def _csr_solver(
         )
         if uniform_diag:
             return BlockDiagonalCSRQR(suggested_block_cols), "block_diagonal"
-        cls = SegmentedBandedQR if prefer_segmented else BandedBlockedQR
+        if prefer_segmented is False and plan.num_blocks < 2 * 32:
+            # short chains: the segmented form would delegate anyway
+            return (
+                BandedBlockedQR(suggested_block_cols=suggested_block_cols),
+                "banded_blocked",
+            )
+        # the segmented composition is BOTH the shardable form and the
+        # single-chip fast form (the vmapped segment batch replaces nb
+        # sequential scan steps with ~nb/L); it self-delegates to the plain
+        # chain on non-uniform/short plans
         return (
-            cls(suggested_block_cols=suggested_block_cols),
-            "segmented_banded" if prefer_segmented else "banded_blocked",
+            SegmentedBandedQR(suggested_block_cols=suggested_block_cols),
+            "segmented_banded",
         )
     if mat.nrows >= 2 * mat.ncols:
         return BlockedThinSparseQR(), "blocked_thin_sparse"
@@ -186,8 +195,10 @@ def auto_qr(
 
     ``dense_col_frac``: a column with nnz >= this fraction of the rows counts
     as dense; a small set of dense columns over a structured body triggers the
-    block-angular split.  ``prefer_segmented`` picks the segment-parallel
-    (shardable) banded form over the single-chip-fastest plain chain.
+    block-angular split.  Banded plans pick the segmented composition (the
+    shardable AND single-chip-fastest form) for chains of >= 64 blocks and
+    the plain chain below that; ``prefer_segmented=True`` forces the
+    segmented form regardless (it self-delegates when not segmentable).
     """
     if isinstance(mat, BlockDiagonal):
         qr = BlockDiagonalQR().compute(mat)

@@ -209,6 +209,52 @@ def _apply_two_seg(seq: "TwoSegmentWYSeq", M: jnp.ndarray, transpose: bool, vec:
     return out[:, 0] if vec else out
 
 
+@functools.partial(jax.jit, static_argnames=("transpose", "vec"))
+@highest_precision
+def _apply_two_seg_cols(seq: "TwoSegmentWYSeq", M: jnp.ndarray, transpose: bool, vec: bool):
+    """Lane-major variant of :func:`_apply_two_seg` for NARROW operands.
+
+    A [m, k] operand with k ≪ 128 is physically padded to 128 lanes (128×
+    for a solve vector); transposed to [k, m] the long axis sits in lanes and
+    every per-step window slice/update moves ~k/128 of the bytes.  Same math:
+    (Y (T' (Yᵀ w)))ᵀ = wᵀ Y T'ᵀ Yᵀ.
+    """
+    if vec:
+        M = M[:, None]
+    k = M.shape[1]
+    A = seq.Y.shape[1]
+    H1 = seq.h1
+    Mt = jnp.concatenate([M.T, jnp.zeros((k, H1 + A), M.dtype)], axis=1)
+    jA = jax.lax.broadcasted_iota(jnp.int32, (A,), 0)
+    j1 = jax.lax.broadcasted_iota(jnp.int32, (H1,), 0)
+
+    def body(carry, blk):
+        Yk, Tk, s1, s2, sp = blk
+        zero = jnp.zeros((), s1.dtype)
+        w1 = jax.lax.dynamic_slice(carry, (zero, s1), (k, H1))
+        w2 = jax.lax.dynamic_slice(carry, (zero, s2), (k, A))
+        wg = jnp.where(
+            (jA < sp)[None, :],
+            w1[:, jnp.clip(jA, 0, H1 - 1)],
+            w2[:, jnp.clip(jA - sp, 0, A - 1)],
+        )
+        Tt = Tk if transpose else Tk.T
+        wg = wg + ((wg @ Yk) @ Tt) @ Yk.T
+        w1o = jnp.where((j1 < sp)[None, :], wg[:, jnp.clip(j1, 0, A - 1)], w1)
+        w2o = jnp.where(
+            (jA + sp < A)[None, :], wg[:, jnp.clip(jA + sp, 0, A - 1)], w2
+        )
+        carry = jax.lax.dynamic_update_slice(carry, w1o, (zero, s1))
+        carry = jax.lax.dynamic_update_slice(carry, w2o, (zero, s2))
+        return carry, None
+
+    out, _ = jax.lax.scan(
+        body, Mt, (seq.Y, seq.T, seq.s1, seq.s2, seq.split), reverse=not transpose
+    )
+    out = out[:, : seq.m].T
+    return out[:, 0] if vec else out
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class TwoSegmentWYSeq:
@@ -247,7 +293,11 @@ class TwoSegmentWYSeq:
         return self.Y.shape[0]
 
     def _apply(self, M: jnp.ndarray, transpose: bool) -> jnp.ndarray:
-        return _apply_two_seg(self, M, transpose, M.ndim == 1)
+        vec = M.ndim == 1
+        k = 1 if vec else M.shape[1]
+        if k <= 16:  # narrow operands lane-pad ≥ 8×; use the transposed form
+            return _apply_two_seg_cols(self, M, transpose, vec)
+        return _apply_two_seg(self, M, transpose, vec)
 
     def apply_q(self, M: jnp.ndarray) -> jnp.ndarray:
         return self._apply(M, transpose=False)

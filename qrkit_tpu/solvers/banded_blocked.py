@@ -407,6 +407,8 @@ class BandedBlockedQR(QRSolver):
             jnp.asarray(g["ncols"]),
         )
         self._panel_gmap = None  # pattern gather map, built at first factorize
+        self._fac_fn = None
+        self._sol_fn = None
         self._analysis_ok = True
         return self
 
@@ -429,16 +431,28 @@ class BandedBlockedQR(QRSolver):
                 )
             )
         # per-factorize upload: ONLY the raw data vector (contiguous); panels
-        # materialize on device through the cached gather map
+        # materialize on device through the cached gather map.  The gather +
+        # shift + all scan chunks run as ONE jitted program per plan — the
+        # eager chunk-by-chunk glue cost one dispatch round trip per chunk
+        # through the accelerator tunnel.  Device arrays (gather map, geometry)
+        # are jit ARGUMENTS: a closure-captured device array would be baked
+        # into the executable as a constant via a host round trip, and such
+        # programs also degrade subsequent tunnel transfers.
+        if self._fac_fn is None:
+            mA, mC = self._max_active, self._max_cols
+            mCa, mE, m = self._max_carry, self._max_emit, self._nrows
+
+            @jax.jit
+            def _fac(data, gmap, geom):
+                return banded_factorize(
+                    _gather_panels(data, gmap), geom,
+                    max_active=mA, max_cols=mC, max_carry=mCa, max_emit=mE, m=m,
+                )
+
+            self._fac_fn = _fac
         data_dev = jnp.asarray(np.asarray(pmat.data, dtype))
-        self.q_seq, self.r_panels = banded_factorize(
-            _gather_panels(data_dev, self._panel_gmap),
-            self._geom_dev,
-            max_active=self._max_active,
-            max_cols=self._max_cols,
-            max_carry=self._max_carry,
-            max_emit=self._max_emit,
-            m=self._nrows,
+        self.q_seq, self.r_panels = self._fac_fn(
+            data_dev, self._panel_gmap, self._geom_dev
         )
         self._set_success()
         return self
@@ -510,6 +524,27 @@ class BandedBlockedQR(QRSolver):
             max_cols=self._max_cols,
             n=self._ncols,
         )
+
+    def solve(self, b: jnp.ndarray) -> jnp.ndarray:
+        """Least-squares solve as ONE compiled program per plan (the
+        protocol-default eager apply_qt → solve_r path issues a dispatch
+        round trip per primitive through a remote-accelerator tunnel)."""
+        if b.ndim != 1:
+            return super().solve(b)
+        if getattr(self, "_sol_fn", None) is None:
+            n, me, mc = self._ncols, self._max_emit, self._max_cols
+
+            @jax.jit
+            def _sol(q_seq, r_panels, meta, b):
+                cols_d, emit_d, ncols_d = meta
+                y = q_seq.apply_qt(b)
+                return banded_solve_r(
+                    r_panels, cols_d, emit_d, ncols_d, y[:n],
+                    max_emit=me, max_cols=mc, n=n,
+                )
+
+            self._sol_fn = _sol
+        return self._sol_fn(self.q_seq, self.r_panels, self._solve_meta, b)
 
     def rows_permutation(self) -> Permutation:
         return self._row_perm

@@ -63,17 +63,18 @@ def _vmapped_chain(C0, shifted, col_inc, active, **kw):
     return jax.vmap(f)(C0, shifted, col_inc, active)
 
 
-@functools.partial(jax.jit, static_argnames=("h1",))
+@functools.partial(jax.jit, static_argnames=("h1", "transpose"))
 @highest_precision
-def _segment_apply_qt_cols(Yws, Ts, s1, s2, split, vt, h1: int):
-    """Per-segment two-segment Qᵀ apply on LANE-MAJOR operands [S, k, rows].
+def _segment_apply_cols(Yws, Ts, s1, s2, split, vt, h1: int, transpose: bool):
+    """Per-segment two-segment Q/Qᵀ apply on LANE-MAJOR operands [S, k, rows].
 
-    Same math as :func:`_segment_apply` with ``transpose=True``, but the
-    operand is stored transposed so the long row axis sits in TPU lanes: a
-    [seg_rows, 2o] slab has minor dim 2o ≪ 128 and is physically padded 16×
-    in HBM/VMEM; as [2o, seg_rows] the padding is gone and every per-step
-    dynamic slice/update moves 15× fewer bytes.  Used on the factorize path
-    (Qᵀ·A_B); vector applies keep the row-major form.
+    Same math as :func:`_segment_apply`, but the operand is stored transposed
+    so the long row axis sits in TPU lanes: a [seg_rows, k] operand with
+    k ≪ 128 (a 2o-column slab, or k=1 for a solve vector) is physically
+    padded up to 128 lanes — 16–128× its logical size; as [k, seg_rows] the
+    padding is gone and every per-step dynamic slice/update moves that much
+    less.  Used on the factorize (Qᵀ·A_B) and fused-solve paths; general
+    matrix applies keep the row-major form.
     """
     S, k, R = vt.shape
     A = Yws.shape[2]
@@ -93,8 +94,9 @@ def _segment_apply_qt_cols(Yws, Ts, s1, s2, split, vt, h1: int):
                 w1[:, jnp.clip(jA, 0, h1 - 1)],
                 w2[:, jnp.clip(jA - spv, 0, A - 1)],
             )
-            # (Y (Tᵀ (Yᵀ w)))ᵀ = wᵀ Y T Yᵀ
-            wg = wg + ((wg @ Yk) @ Tk) @ Yk.T
+            # (Y (T' (Yᵀ w)))ᵀ = wᵀ Y T'ᵀ Yᵀ;  Qᵀ uses T' = Tᵀ, Q uses T
+            Tt = Tk if transpose else Tk.T
+            wg = wg + ((wg @ Yk) @ Tt) @ Yk.T
             w1o = jnp.where((j1 < spv)[None, :], wg[:, jnp.clip(j1, 0, A - 1)], w1)
             w2o = jnp.where(
                 (jA + spv < A)[None, :], wg[:, jnp.clip(jA + spv, 0, A - 1)], w2
@@ -103,10 +105,20 @@ def _segment_apply_qt_cols(Yws, Ts, s1, s2, split, vt, h1: int):
             carry = jax.lax.dynamic_update_slice(carry, w2o, (zero, s2v))
             return carry, None
 
-        out, _ = jax.lax.scan(body, vp, (Y, T, a1, a2, sp))
+        out, _ = jax.lax.scan(
+            body, vp, (Y, T, a1, a2, sp), reverse=not transpose
+        )
         return out[:, :R]
 
     return jax.vmap(one)(Yws, Ts, s1, s2, split, vt)
+
+
+@functools.partial(jax.jit, static_argnames=("transpose",))
+@highest_precision
+def _batched_wy_cols(Y, T, Mt, transpose: bool):
+    """Batched compact-WY apply on lane-major operands Mt [S, k, rows]."""
+    Tt = T if transpose else jnp.swapaxes(T, 1, 2)
+    return Mt + ((Mt @ Y) @ Tt) @ jnp.swapaxes(Y, 1, 2)
 
 
 @functools.partial(jax.jit, static_argnames=("transpose",))
@@ -523,7 +535,8 @@ class SegmentedBandedQR(QRSolver):
         fac = self._get_factorize_fn()
         (self._Yws, self._Ts, self._r_panels, self._j2_top,
          self._Yb, self._Tb, self._chain_seq, self._chain_r) = fac(
-            jnp.asarray(np.asarray(pmat.data, dtype))
+            jnp.asarray(np.asarray(pmat.data, dtype)),
+            self._panel_gmap, self._slab_gmap_t, self._fac_meta,
         )
 
         self._set_success()
@@ -541,44 +554,56 @@ class SegmentedBandedQR(QRSolver):
 
         S, L, o = self.S, self.L, self._overlap
         max_cols, kw, ckw = self._max_cols, dict(self._kw), dict(self._chain_kw)
-        carry_d, nrows_d, starts = self._carry_d, self._nrows_d, self._starts
-        colinc_d = self._colinc_d
-        carry2d, active_d, rows2d = self._carry2d, self._active_d, self._rows2d
-        top_valid, bot_idx, bot_valid = self._top_valid, self._bot_idx, self._bot_valid
-        chain_geom, nbot2 = self._chain_geom_dev, self._nbot2
+        nbot2 = self._nbot2
         nloc_max = self._nloc_max
         h1 = kw["max_carry"]
-        panel_gmap, slab_gmap_t = self._panel_gmap, self._slab_gmap_t
+
+        # NOTE: every device array is a jit ARGUMENT, never a closure capture —
+        # a captured device array becomes an MLIR constant, which jax
+        # materializes on the HOST at trace time (a device→host fetch through
+        # the tunnel) and bakes into the executable; empirically a program
+        # carrying multi-MB baked constants also degrades EVERY subsequent
+        # host→device transfer in the process ~100× (axon tunnel behavior)
+        self._fac_meta = dict(
+            carry_d=self._carry_d, nrows_d=self._nrows_d, starts=self._starts,
+            colinc_d=self._colinc_d, carry2d=self._carry2d,
+            active_d=self._active_d, rows2d=self._rows2d,
+            top_valid=self._top_valid, bot_idx=self._bot_idx,
+            bot_valid=self._bot_valid, chain_geom=self._chain_geom_dev,
+        )
 
         @jax.jit
-        def fac(data):
+        def fac(data, panel_gmap, slab_gmap_t, meta):
             dtype = data.dtype
             pad = jnp.concatenate([data, jnp.zeros((1,), dtype)])
             pj = pad[panel_gmap]  # [S*L, mR, max_cols]
             slab_t = pad[slab_gmap_t]  # [S, 2o, seg_rows(pad)] lane-major
-            shifted = _shift_panels(pj, carry_d, nrows_d, kw["max_active"]).reshape(
-                S, L, kw["max_active"], max_cols
-            )
+            shifted = _shift_panels(
+                pj, meta["carry_d"], meta["nrows_d"], kw["max_active"]
+            ).reshape(S, L, kw["max_active"], max_cols)
             C0 = jnp.zeros((S, kw["max_carry"], max_cols), dtype)
             _, (Yws, Ts, Vs) = _vmapped_chain(
-                C0, shifted, colinc_d, active_d,
+                C0, shifted, meta["colinc_d"], meta["active_d"],
                 max_carry=kw["max_carry"], max_emit=kw["max_emit"],
             )
             j2slab = jnp.swapaxes(
-                _segment_apply_qt_cols(
-                    Yws, Ts, starts, rows2d, carry2d, slab_t, h1
+                _segment_apply_cols(
+                    Yws, Ts, meta["starts"], meta["rows2d"], meta["carry2d"],
+                    slab_t, h1, True,
                 ),
                 1, 2,
             )
             j2_top = jnp.where(
-                top_valid[:, :, None], j2slab[:, :nloc_max], jnp.zeros((), dtype)
+                meta["top_valid"][:, :, None], j2slab[:, :nloc_max],
+                jnp.zeros((), dtype),
             )
+            bot_idx = meta["bot_idx"]
             bot = jnp.take_along_axis(
                 j2slab,
                 jnp.broadcast_to(bot_idx[:, :, None], bot_idx.shape + (2 * o,)),
                 axis=1,
             )
-            bot = jnp.where(bot_valid[:, :, None], bot, jnp.zeros((), dtype))
+            bot = jnp.where(meta["bot_valid"][:, :, None], bot, jnp.zeros((), dtype))
             # chain block 0 has no leading boundary: its local columns are the
             # trailing slab columns (the wrapped leading part is zero)
             bot = bot.at[0].set(jnp.roll(bot[0], -o, axis=-1))
@@ -588,7 +613,7 @@ class SegmentedBandedQR(QRSolver):
             Yb, Tb, Rb = jax.vmap(panel_qr_yt)(bot)
             comp = jnp.triu(Rb[:, : 2 * o])
             chain_seq, chain_r = banded_factorize(
-                comp[..., : ckw["max_cols"]], chain_geom, **ckw, m=nbot2
+                comp[..., : ckw["max_cols"]], meta["chain_geom"], **ckw, m=nbot2
             )
             return Yws, Ts, Vs, j2_top, Yb, Tb, chain_seq, chain_r
 
@@ -826,9 +851,10 @@ class SegmentedBandedQR(QRSolver):
         trip)."""
         if self._delegate is not None:
             return self._delegate.solve(b)
-        return self._get_solve_fn()(
+        fn = self._get_solve_fn()
+        return fn(
             self._Yws, self._Ts, self._Yb, self._Tb, self._chain_seq,
-            self._chain_r, self._j2_top, self._r_panels, b,
+            self._chain_r, self._j2_top, self._r_panels, b, self._sol_meta,
         )
 
     def _get_solve_fn(self):
@@ -851,53 +877,70 @@ class SegmentedBandedQR(QRSolver):
 
         m1, m2, o = self._m1, self._m2, self._overlap
         S, mc, nloc_max = self.S, self._max_cols, self._nloc_max
-        starts, ckw = self._starts, dict(self._chain_kw)
-        rows2d, carry2d, h1 = self._rows2d, self._carry2d, self._kw["max_carry"]
-        cols_d, emit_d, ncols_d = self._chain_solve_meta
-        seg_gather, seg_valid = self._seg_gather, self._seg_valid
-        row_order = self._row_order
-        x2_idx, col_gather, col_valid = self._x2_idx, self._col_gather, self._col_valid
-        ncols_loc_d, active_d, emit2d = self._ncols_d, self._active_d, self._emit_d
+        ckw = dict(self._chain_kw)
+        h1 = self._kw["max_carry"]
         nrows_tot, max_emit = self._nrows, self._max_emit
         perm = self._cols_perm
-        gather_cols = None if perm.is_identity() else jnp.asarray(perm.gather_indices())
-        rbot_gather, rbot_valid = self._rbot_gather, self._rbot_valid
+        has_perm = not perm.is_identity()
         nbot, nbot2 = self._nbot, self._nbot2
 
+        cols_d, emit_d, ncols_d = self._chain_solve_meta
+        # every device array is a jit argument — see _get_factorize_fn
+        self._sol_meta = dict(
+            starts=self._starts, rows2d=self._rows2d, carry2d=self._carry2d,
+            cols_d=cols_d, emit_d=emit_d, ncols_d=ncols_d,
+            x2_idx=self._x2_idx, ncols_loc_d=self._ncols_d,
+            active_d=self._active_d, emit2d=self._emit_d,
+            seg_gather=self._seg_gather, seg_valid=self._seg_valid,
+            row_order=self._row_order, rbot_gather=self._rbot_gather,
+            rbot_valid=self._rbot_valid, col_gather=self._col_gather,
+            col_valid=self._col_valid,
+        )
+        if has_perm:
+            self._sol_meta["gather_cols"] = jnp.asarray(perm.gather_indices())
+
         @jax.jit
-        def sol(Yws, Ts, Yb, Tb, chain_seq, chain_r, j2_top, r_panels, b):
+        def sol(Yws, Ts, Yb, Tb, chain_seq, chain_r, j2_top, r_panels, b, meta):
             dt = b.dtype
-            # Q1ᵀ b (per-segment), reordered R-rows-first
-            v2 = b[:, None]
-            vs = jnp.where(
-                seg_valid[..., None],
-                v2[jnp.clip(seg_gather, 0, nrows_tot - 1)],
+            seg_gather, seg_valid = meta["seg_gather"], meta["seg_valid"]
+            col_gather, col_valid = meta["col_gather"], meta["col_valid"]
+            # Q1ᵀ b (per-segment), lane-major ([S, 1, rows] — a [rows, 1]
+            # vector operand would be 128×-padded in the lane dim), then
+            # reordered R-rows-first
+            vt = jnp.where(
+                seg_valid[:, None, :],
+                b[jnp.clip(seg_gather, 0, nrows_tot - 1)][:, None, :],
                 jnp.zeros((), dt),
             )
-            out = _segment_apply(Yws, Ts, starts, rows2d, carry2d, vs, h1, True, False)
-            flat = out.reshape(S * seg_gather.shape[1], 1)
-            scat = jnp.zeros((nrows_tot, 1), dt)
-            scat = scat.at[seg_gather.reshape(-1)].set(flat, mode="drop")
-            top = scat[row_order][:, 0]
+            out = _segment_apply_cols(
+                Yws, Ts, meta["starts"], meta["rows2d"], meta["carry2d"],
+                vt, h1, True,
+            )
+            scat = jnp.zeros((nrows_tot,), dt)
+            scat = scat.at[seg_gather.reshape(-1)].set(
+                out[:, 0, :].reshape(-1), mode="drop"
+            )
+            top = scat[meta["row_order"]]
             # compressed boundary reduction Qᵀ + back-substitution: only the
             # chain-space rows matter for x2, so the pass-through rows of the
             # full _bot_qt are skipped here
             w = jnp.where(
-                rbot_valid[..., None],
-                top[m1:][jnp.clip(rbot_gather, 0, nbot - 1)][..., None],
+                meta["rbot_valid"][:, None, :],
+                top[m1:][jnp.clip(meta["rbot_gather"], 0, nbot - 1)][:, None, :],
                 jnp.zeros((), dt),
             )
-            w = _batched_wy(Yb, Tb, w, True)
-            ybot = chain_seq.apply_qt(w[:, : 2 * o, 0].reshape(nbot2))
+            w = _batched_wy_cols(Yb, Tb, w, True)
+            ybot = chain_seq.apply_qt(w[:, 0, : 2 * o].reshape(nbot2))
             x2 = banded_solve_r(
-                chain_r, cols_d, emit_d, ncols_d, ybot[:m2],
+                chain_r, meta["cols_d"], meta["emit_d"], meta["ncols_d"],
+                ybot[:m2],
                 max_emit=ckw["max_emit"], max_cols=ckw["max_cols"], n=m2,
             )
             x2pad = jnp.concatenate(
                 [jnp.zeros((o,), dt), x2, jnp.zeros((o,), dt)]
             )
             contrib = highest_precision(jnp.einsum)(
-                "snj,sj->sn", j2_top, x2pad[x2_idx]
+                "snj,sj->sn", j2_top, x2pad[meta["x2_idx"]]
             )
             idx_top = jnp.where(
                 col_valid[:, :nloc_max], col_gather[:, :nloc_max], m1
@@ -911,13 +954,13 @@ class SegmentedBandedQR(QRSolver):
                     xp, yp, rp, cs, er, nc, act, max_emit=max_emit, max_cols=mc
                 )
             )(
-                jnp.zeros_like(ypad), ypad, r_panels, starts, emit2d,
-                ncols_loc_d, active_d,
+                jnp.zeros_like(ypad), ypad, r_panels, meta["starts"],
+                meta["emit2d"], meta["ncols_loc_d"], meta["active_d"],
             )
             idx = jnp.where(col_valid, col_gather, m1)
             x1 = jnp.zeros((m1,), dt).at[idx].set(xs, mode="drop")
             z = jnp.concatenate([x1, x2])
-            return z if gather_cols is None else z[gather_cols]
+            return z[meta["gather_cols"]] if has_perm else z
 
         self._solve_fn = sol
         return sol
