@@ -41,26 +41,52 @@ def banded_matrix(nb: int, rng) -> SparseCSR:
     )
 
 
+def _fetch_scalar(x):
+    """Force remote completion: through the accelerator tunnel
+    ``block_until_ready`` returns before remote execution finishes, so a
+    timing loop must end with an actual value fetch (CLAUDE.md rule; the
+    tunnel executes dispatched programs in order, so fetching one element of
+    the LAST result fences every earlier dispatch too)."""
+    return float(np.asarray(x.ravel()[0]))
+
+
 def bench(qr, mat, b, reps):
+    """Steady-state per-op walltime via the difference quotient
+    ``(T(reps) - T(1)) / (reps - 1)`` — cancels the fixed dispatch/fetch
+    round trip.  Every rep gets FRESH data values (scaled copies) so no
+    layer can dedup/cache repeated identical work."""
     qr.compute(mat)  # analysis + compile
     qr.compute(mat)
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        qr.compute(mat)
-        jax.block_until_ready(
-            qr._r_panels if hasattr(qr, "_r_panels") and qr._delegate is None
-            else qr.r_diagonal()
-        )
-    fac = (time.perf_counter() - t0) / reps
+    mats = [
+        SparseCSR(mat.shape, mat.indptr, mat.indices, mat.data * (1 + 1e-9 * (k + 1)))
+        for k in range(reps)
+    ]
 
+    def run_fac(K):
+        t0 = time.perf_counter()
+        for mk in mats[:K]:
+            qr.compute(mk)
+        inner = qr._delegate if getattr(qr, "_delegate", None) is not None else qr
+        _fetch_scalar(inner._r_panels if hasattr(inner, "_r_panels") else inner.r_panels)
+        return time.perf_counter() - t0
+
+    run_fac(1)
+    fac = (run_fac(reps) - run_fac(1)) / (reps - 1)
+
+    bs = [b * (1 + 1e-9 * (k + 1)) for k in range(reps)]
     x = qr.solve(b)
-    jax.block_until_ready(x)
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        x = qr.solve(b)
-        jax.block_until_ready(x)
-    sol = (time.perf_counter() - t0) / reps
-    return fac, sol, x
+    _fetch_scalar(x)
+
+    def run_sol(K):
+        t0 = time.perf_counter()
+        for bk in bs[:K]:
+            x = qr.solve(bk)
+        _fetch_scalar(x)
+        return time.perf_counter() - t0
+
+    run_sol(1)
+    sol = (run_sol(reps) - run_sol(1)) / (reps - 1)
+    return fac, sol, qr.solve(b)
 
 
 def main():
