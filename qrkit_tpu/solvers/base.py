@@ -131,9 +131,16 @@ class QRSolver(abc.ABC):
         solve on the leading rank×rank block, column back-permutation.
 
         The caller is responsible for pre-applying ``rows_permutation()`` to b.
+        ``b`` may be a vector [rows] or a matrix [rows, k] of RHS columns
+        (Eigen's ``solve`` accepts both); the Qᵀ application is batched and
+        the structured triangular solve vmaps over the columns.
         """
-        y = self.apply_qt(b)
-        z = self.solve_r(y[: self.cols])
+        if b.ndim == 2:
+            y = self.apply_qt(b)  # one batched Qᵀ for every column
+            z = jax.vmap(self.solve_r, in_axes=1, out_axes=1)(y[: self.cols])
+        else:
+            y = self.apply_qt(b)
+            z = self.solve_r(y[: self.cols])
         perm = self.cols_permutation()
         if perm.is_identity():
             return z

@@ -851,6 +851,8 @@ class SegmentedBandedQR(QRSolver):
         trip)."""
         if self._delegate is not None:
             return self._delegate.solve(b)
+        if b.ndim != 1:  # matrix RHS: protocol path (vmapped solve_r)
+            return super().solve(b)
         fn = self._get_solve_fn()
         return fn(
             self._Yws, self._Ts, self._Yb, self._Tb, self._chain_seq,

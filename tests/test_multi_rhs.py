@@ -1,0 +1,77 @@
+"""Matrix (multi-)RHS solve — Eigen's ``solve()`` accepts matrix RHS.
+
+``solve(B)`` with B [rows, k] must equal per-column vector solves on every
+solver family: one batched Qᵀ application plus a vmapped structured
+triangular solve (base.QRSolver.solve).
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qrkit_tpu.containers import BlockDiagonal, BlockMatrix1x2
+from qrkit_tpu.solvers import (
+    BandedBlockedQR,
+    BlockAngularQR,
+    BlockDiagonalQR,
+    BlockedThinSparseQR,
+    DenseColPivQR,
+    SegmentedBandedQR,
+)
+
+from generators import (
+    block_angular_matrix,
+    block_diagonal_matrix,
+    overlapping_block_diagonal_matrix,
+)
+
+K = 4
+
+
+def _check_multi_rhs(qr, mat_dense, rng, atol=1e-8):
+    B = jnp.asarray(rng.normal(size=(mat_dense.shape[0], K)))
+    X = np.asarray(qr.solve(B))
+    assert X.shape == (mat_dense.shape[1], K)
+    for j in range(K):
+        xj = np.asarray(qr.solve(B[:, j]))
+        assert np.allclose(X[:, j], xj, atol=atol), np.abs(X[:, j] - xj).max()
+
+
+def test_multi_rhs_block_diagonal(rng):
+    mat = block_diagonal_matrix(40, 140, rng, permute_rows=False)
+    qr = BlockDiagonalQR().compute(BlockDiagonal.from_block_diagonal_pattern(mat, 7, 2))
+    _check_multi_rhs(qr, mat.to_dense(), rng)
+
+
+def test_multi_rhs_banded(rng):
+    mat = overlapping_block_diagonal_matrix(40, 140, rng, permute_rows=False)
+    qr = BandedBlockedQR(suggested_block_cols=4).compute(mat)
+    _check_multi_rhs(qr, mat.to_dense(), rng)
+
+
+def test_multi_rhs_segmented(rng):
+    mat = overlapping_block_diagonal_matrix(512, 1792, rng, permute_rows=False)
+    qr = SegmentedBandedQR(suggested_block_cols=4, segment_blocks=16).compute(mat)
+    assert qr._delegate is None
+    _check_multi_rhs(qr, mat.to_dense(), rng)
+
+
+def test_multi_rhs_block_angular(rng):
+    mat = block_angular_matrix(32, 3, 112, rng)
+    left = mat.slice_cols(0, 32)
+    right = mat.hstack_dense_block(32, 3)
+    qr = BlockAngularQR(
+        BandedBlockedQR(suggested_block_cols=4), DenseColPivQR()
+    ).compute(BlockMatrix1x2(left, right))
+    _check_multi_rhs(qr, mat.to_dense(), rng)
+
+
+def test_multi_rhs_thin_sparse(rng):
+    mat = block_diagonal_matrix(20, 70, rng, permute_rows=True)
+    qr = BlockedThinSparseQR(suggested_block_cols=4).compute(mat)
+    _check_multi_rhs(qr, mat.to_dense(), rng)
+
+
+def test_multi_rhs_landscape(rng):
+    blk = BlockDiagonal.from_dense_batch(rng.normal(size=(5, 2, 3)))
+    qr = BlockDiagonalQR(pivot=True).compute(blk)
+    _check_multi_rhs(qr, blk.to_dense(), rng)
