@@ -61,3 +61,21 @@ def test_bundle_noisy_recovery():
     assert res.cost < 2.0 * 0.5 * noise**2 * nres
     assert res.cost < 0.5 * cost0
     assert res.converged
+
+
+def test_bundle_device_matches_host_loop():
+    """fit_bundle_device (one compiled while_loop) reaches the same quality
+    as the host-loop class-API driver on a noisy scene."""
+    import numpy as np
+
+    from qrkit_tpu import LMConfig
+    from qrkit_tpu.examples.bundle import fit_bundle_device
+
+    cams, pts, uv = make_scene(n_cams=3, n_pts=24, noise=1e-3, seed=5)
+    rng = np.random.default_rng(11)
+    cams0 = cams + 0.02 * rng.normal(size=cams.shape)
+    pts0 = pts + 0.02 * rng.normal(size=pts.shape)
+    res = fit_bundle_device(cams0, pts0, uv, LMConfig(max_iters=60))
+    n_obs = 2 * 24 * 3
+    rms = float(np.sqrt(2.0 * res.cost / n_obs))
+    assert rms < 5e-3  # down at the noise level

@@ -105,3 +105,32 @@ def test_fuzz_auto(case):
     b = dense @ x_true
     x = np.asarray(qr.solve(jnp.asarray(qr.rows_permutation().apply(b))))
     assert np.allclose(x, x_true, atol=1e-6)
+
+
+ANGULAR_CASES = [(c, m2) for c in CASES[:4] for m2 in (2, 5)]
+
+
+@pytest.mark.parametrize(
+    "case,m2", ANGULAR_CASES, ids=[f"{c}+{m2}" for c, m2 in ANGULAR_CASES]
+)
+def test_fuzz_block_angular(case, m2):
+    """Random banded left + dense right through the composition solver."""
+    from qrkit_tpu.containers import BlockMatrix1x2
+    from qrkit_tpu.solvers import BlockAngularQR, DenseColPivQR
+
+    br, bc, ov, nb, permute = case
+    left, rng = banded_fixture(br, bc, ov, nb, permute, seed=hash(case) % 2**31)
+    right = rng.normal(size=(left.nrows, m2))
+    qr = BlockAngularQR(
+        BandedBlockedQR(suggested_block_cols=bc), DenseColPivQR()
+    ).compute(BlockMatrix1x2(left, jnp.asarray(right)))
+    dense = np.concatenate([left.to_dense(), right], axis=1)
+    x_true = rng.normal(size=dense.shape[1])
+    b = dense @ x_true
+    x = np.asarray(qr.solve(jnp.asarray(qr.rows_permutation().apply(b))))
+    assert np.allclose(x, x_true, atol=1e-6), np.abs(x - x_true).max()
+    # composite factor contract on the exports
+    Q = np.asarray(qr.matrix_q_dense())
+    R = np.asarray(qr.matrix_r_dense())
+    pap = qr.rows_permutation().apply(dense)[:, qr.cols_permutation().indices]
+    assert np.allclose(Q @ R, pap, atol=1e-8)
