@@ -519,10 +519,12 @@ class SegmentedBandedQR(QRSolver):
             gm[
                 seg_of[ok], (r_s - self._seg_row0_arr[seg_of])[ok], slabcol[ok]
             ] = np.nonzero(sel)[0][ok]
-            self._slab_gmap = jnp.asarray(gm)
-            # lane-major variant: gathering through the transposed map yields
-            # the slab directly as [S, 2o, seg_rows] — the long axis in TPU
-            # lanes (a [seg_rows, 2o] layout pads the 2o minor dim 16× to 128)
+            # lane-major map: gathering through the transposed map yields the
+            # slab directly as [S, 2o, seg_rows] — the long axis in TPU lanes
+            # (a [seg_rows, 2o] layout pads the 2o minor dim 16× to 128).
+            # Only the transposed form goes to the device; the row-major gm
+            # stays host-side (the built-flag keeps a cheap sentinel).
+            self._slab_gmap = True
             self._slab_gmap_t = jnp.asarray(
                 np.ascontiguousarray(gm.transpose(0, 2, 1))
             )
