@@ -95,11 +95,8 @@ def main():
     rng = np.random.default_rng(0)
     mat = banded_matrix(nb, rng)
     x_true = rng.normal(size=mat.ncols)
-    b = jnp.asarray(mat.to_dense() @ x_true) if nb <= 4000 else None
-    if b is None:
-        # avoid a dense [m, n] product at huge sizes
-        dense_rows = None
-        b = jnp.asarray(np.zeros(mat.nrows))
+    # avoid a dense [m, n] product at huge sizes
+    b = jnp.asarray(mat.to_dense() @ x_true if nb <= 4000 else np.zeros(mat.nrows))
     print(f"# matrix {mat.nrows}x{mat.ncols}, nnz={mat.data.size}", file=sys.stderr)
 
     for name, qr in [

@@ -113,10 +113,7 @@ def main(argv=None) -> int:
     if args.rhs_random:
         rng = np.random.default_rng(0)
         x_true = rng.normal(size=mat.ncols)
-        # sparse A @ x without densifying
-        row_ids = np.repeat(np.arange(mat.nrows), np.diff(mat.indptr))
-        b = np.zeros(mat.nrows)
-        np.add.at(b, row_ids, mat.data * x_true[mat.indices])
+        b = mat.matvec(x_true)
     elif args.rhs:
         b = _load_rhs(args.rhs, mat.nrows)
 
@@ -125,10 +122,7 @@ def main(argv=None) -> int:
         pb = jnp.asarray(qr.rows_permutation().apply(b))
         x = np.asarray(qr.solve(pb))
         t4 = time.perf_counter()
-        row_ids = np.repeat(np.arange(mat.nrows), np.diff(mat.indptr))
-        ax = np.zeros(mat.nrows)
-        np.add.at(ax, row_ids, mat.data * x[mat.indices])
-        resid = np.linalg.norm(ax - b) / max(np.linalg.norm(b), 1e-300)
+        resid = np.linalg.norm(mat.matvec(x) - b) / max(np.linalg.norm(b), 1e-300)
         msg = f"solve {t4 - t3:.3f}s, relative residual {resid:.3e}"
         if x_true is not None:
             msg += f", x recovery rel err {np.linalg.norm(x - x_true) / np.linalg.norm(x_true):.3e}"

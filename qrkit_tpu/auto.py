@@ -111,9 +111,33 @@ class BlockDiagonalCSRQR(BlockDiagonalQR):
     def __init__(self, suggested_block_cols: int = 3, **kw):
         super().__init__(**kw)
         self._suggested = suggested_block_cols
+        self._pre = None
+
+    def set_analysis(self, plan, row_perm):
+        """Install a precomputed (uniform block-diagonal) plan so compute()
+        skips the O(nnz) ordering + detection (auto_qr already ran them)."""
+        self._pre = (plan, row_perm)
+        return self
 
     def compute(self, mat, row_perm=None):
         if isinstance(mat, SparseCSR):
+            if self._pre is not None:
+                import jax.numpy as jnp
+
+                plan, perm = self._pre
+                sorted_mat = (
+                    mat.permute_rows(perm) if not perm.is_identity() else mat
+                )
+                blk = BlockDiagonal(
+                    jnp.asarray(
+                        sorted_mat.blocks_dense(
+                            [b.astuple() for b in plan.blocks],
+                            plan.max_block_rows, plan.max_block_cols,
+                        )
+                    ),
+                    mat.nrows, mat.ncols,
+                )
+                return super().compute(blk, row_perm=perm)
             blk, perm = BlockDiagonal.from_sparse_matrix(mat, self._suggested)
             return super().compute(blk, row_perm=perm)
         return super().compute(mat, row_perm=row_perm)
@@ -143,7 +167,12 @@ def _csr_solver(
     suggested_block_cols: int,
     prefer_segmented: bool,
 ):
-    """Pick (uncomputed solver, selection tag) for a plain sparse matrix."""
+    """Pick an UNCOMPUTED solver for a plain sparse matrix.
+
+    Returns (solver, selection tag); the analysis already performed here
+    (abap ordering + block detection) is INSTALLED on the solver via
+    ``set_analysis`` so ``compute()`` will not re-run it.
+    """
     perm, has_perm = as_banded_as_possible(mat)
     sorted_mat = mat.permute_rows(perm) if has_perm else mat
     try:
@@ -164,21 +193,24 @@ def _csr_solver(
             and np.all(cols_ == np.arange(plan.num_blocks) * bc)
         )
         if uniform_diag:
-            return BlockDiagonalCSRQR(suggested_block_cols), "block_diagonal"
-        if prefer_segmented is False and plan.num_blocks < 2 * 32:
+            solver = BlockDiagonalCSRQR(suggested_block_cols)
+            solver.set_analysis(plan, perm)
+            return solver, "block_diagonal"
+        if (
+            prefer_segmented is False
+            and plan.num_blocks < 2 * SegmentedBandedQR.DEFAULT_SEGMENT_BLOCKS
+        ):
             # short chains: the segmented form would delegate anyway
-            return (
-                BandedBlockedQR(suggested_block_cols=suggested_block_cols),
-                "banded_blocked",
-            )
+            solver = BandedBlockedQR(suggested_block_cols=suggested_block_cols)
+            solver.set_analysis(plan, perm)
+            return solver, "banded_blocked"
         # the segmented composition is BOTH the shardable form and the
         # single-chip fast form (the vmapped segment batch replaces nb
         # sequential scan steps with ~nb/L); it self-delegates to the plain
         # chain on non-uniform/short plans
-        return (
-            SegmentedBandedQR(suggested_block_cols=suggested_block_cols),
-            "segmented_banded",
-        )
+        solver = SegmentedBandedQR(suggested_block_cols=suggested_block_cols)
+        solver.set_analysis(plan, perm)
+        return solver, "segmented_banded"
     if mat.nrows >= 2 * mat.ncols:
         return BlockedThinSparseQR(), "blocked_thin_sparse"
     return DenseColPivQR(), "dense_colpiv"
@@ -226,9 +258,7 @@ def auto_qr(
         return qr
 
     m, n = mat.shape
-    col_nnz = np.zeros(n, dtype=np.int64)
-    np.add.at(col_nnz, mat.indices, 1)
-    dense_cols = np.nonzero(col_nnz >= max(dense_col_frac * m, 2))[0]
+    dense_cols = np.nonzero(mat.col_nnz() >= max(dense_col_frac * m, 2))[0]
     cap = max_angular_cols if max_angular_cols is not None else max(1, n // 8)
     if 0 < dense_cols.size <= cap and dense_cols.size < n - dense_cols.size:
         # block-angular split: structured body | dense trailing columns

@@ -422,14 +422,18 @@ class BandedBlockedQR(QRSolver):
         )
         g = self.geom
         dtype = np.float64 if jax.config.jax_enable_x64 else np.float32
-        if self._panel_gmap is None:
-            # pattern-only; device-resident for the lifetime of the plan
+        fp = pmat.pattern_fingerprint()
+        if self._panel_gmap is None or fp != self._gmap_fp:
+            # keyed on the stored-nonzero LAYOUT, not just the plan: a
+            # same-structure matrix with a pruned/reordered entry shifts every
+            # later data index, and a stale map would silently gather garbage
             self._panel_gmap = jnp.asarray(
                 pmat.panels_gather_map(
                     [b.astuple() for b in self.plan.blocks],
                     self._mR, self._max_cols,
                 )
             )
+            self._gmap_fp = fp
         # per-factorize upload: ONLY the raw data vector (contiguous); panels
         # materialize on device through the cached gather map.  The gather +
         # shift + all scan chunks run as ONE jitted program per plan — the

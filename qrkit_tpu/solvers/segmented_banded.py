@@ -158,10 +158,12 @@ class SegmentedBandedQR(QRSolver):
     they raise instead.
     """
 
+    DEFAULT_SEGMENT_BLOCKS = 32  # L; segmentation needs >= 2L blocks
+
     def __init__(
         self,
         suggested_block_cols: int = 8,
-        segment_blocks: int = 32,
+        segment_blocks: int = DEFAULT_SEGMENT_BLOCKS,
         block_rows: Optional[int] = None,
         block_cols: Optional[int] = None,
         block_overlap: Optional[int] = None,
@@ -213,6 +215,30 @@ class SegmentedBandedQR(QRSolver):
             self._analysis_ok = True
             return self
 
+    def set_analysis(self, plan, row_perm: Optional[Permutation] = None):
+        """Install a precomputed plan (auto_qr / persist.load_analysis) —
+        segment without re-running the O(nnz) ordering + block detection.
+        Falls back to a plain delegate like :meth:`analyze_pattern`."""
+        self._delegate = None
+        self.plan = plan
+        self._row_perm = (
+            row_perm if row_perm is not None else Permutation.identity(plan.nrows)
+        )
+        try:
+            return self._segment_plan()
+        except ValueError:
+            if not self._fallback:
+                raise
+            from .banded_blocked import BandedBlockedQR
+
+            self._delegate = BandedBlockedQR(
+                self._brows, self._bcols, self._boverlap, self._suggested
+            )
+            self._delegate.set_analysis(plan, self._row_perm)
+            self._nrows, self._ncols = plan.nrows, plan.ncols
+            self._analysis_ok = True
+            return self
+
     def _analyze_pattern_segmented(self, mat: SparseCSR):
         self._nrows, self._ncols = mat.shape
         if self._static:
@@ -225,7 +251,11 @@ class SegmentedBandedQR(QRSolver):
             self._row_perm, has_perm = as_banded_as_possible(mat)
             sorted_mat = mat.permute_rows(self._row_perm) if has_perm else mat
             self.plan = block_banded_info(sorted_mat, self._suggested)
+        return self._segment_plan()
 
+    def _segment_plan(self):
+        """Segmentation bookkeeping for an installed ``self.plan``."""
+        self._nrows, self._ncols = self.plan.nrows, self.plan.ncols
         p = self.plan
         nb = p.num_blocks
         if nb < 2 * self.L:
@@ -499,7 +529,11 @@ class SegmentedBandedQR(QRSolver):
         # vector with a single device gather — per factorize, ONLY that
         # contiguous vector crosses the host->device tunnel
         o = self._overlap
-        if self._slab_gmap is None:
+        fp = pmat.pattern_fingerprint()
+        if self._slab_gmap is None or fp != getattr(self, "_gmap_fp", None):
+            # keyed on the stored-nonzero LAYOUT, not just the plan — see
+            # BandedBlockedQR.compute
+            self._gmap_fp = fp
             self._panel_gmap = jnp.asarray(
                 pmat.panels_gather_map(self._block_list, mR, max_cols)
             )

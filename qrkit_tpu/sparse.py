@@ -276,6 +276,22 @@ class SparseCSR:
         gm[b[good], lr[good], lc[good]] = np.nonzero(good)[0]
         return gm
 
+    def pattern_fingerprint(self):
+        """Cheap position-weighted checksum of the stored-nonzero LAYOUT.
+
+        Two matrices with the same block structure can differ in stored
+        layout (an entry pruned to exact zero and dropped by from_triplets,
+        say) — anything keyed on data POSITIONS (the device gather maps) must
+        be rebuilt then, not just when the analyzed plan changes.  O(nnz)
+        vectorized; wraps mod 2^64."""
+        idx = self.indices.astype(np.uint64, copy=False)
+        w = np.arange(1, idx.size + 1, dtype=np.uint64)
+        return (
+            self.nnz,
+            int((idx * w).sum(dtype=np.uint64)),
+            int(self.indptr.astype(np.uint64, copy=False).sum(dtype=np.uint64)),
+        )
+
     def hstack_dense_block(self, c0: int, nc: int) -> np.ndarray:
         return self.block_dense(0, c0, self.nrows, nc)
 

@@ -173,3 +173,36 @@ def test_panels_gather_map_parity(rng):
     gm2 = mat.panels_gather_map(blocks + [(0, 0, 0, 0)], 7, 4)
     assert np.all(gm2[-1] == mat.nnz)
     assert np.array_equal(gm2[:-1], gm)
+
+
+@pytest.mark.parametrize("cls_kw", [
+    ("banded", {}),
+    ("segmented", {"segment_blocks": 3}),
+])
+def test_refactorize_changed_nnz_layout(rng, cls_kw):
+    """Re-compute with a same-structure matrix whose STORED layout differs
+    (one entry pruned to exact zero and dropped): the device gather maps are
+    keyed on data positions and must rebuild, not silently gather garbage."""
+    from qrkit_tpu.solvers import SegmentedBandedQR
+
+    name, kw = cls_kw
+    mat = overlapping_block_diagonal_matrix(40, 140, rng, permute_rows=False)
+    qr = (BandedBlockedQR(suggested_block_cols=4) if name == "banded"
+          else SegmentedBandedQR(suggested_block_cols=4, **kw)).compute(mat)
+
+    # prune one stored entry (structure unchanged: the plan covers it anyway)
+    k = mat.nnz // 2
+    keep = np.ones(mat.nnz, dtype=bool)
+    keep[k] = False
+    row_ids = np.repeat(np.arange(mat.nrows), np.diff(mat.indptr))
+    from qrkit_tpu.sparse import SparseCSR
+
+    mat2 = SparseCSR.from_triplets(
+        row_ids[keep], mat.indices[keep], mat.data[keep], mat.shape
+    )
+    qr.compute(mat2)  # same analyzed structure, shifted data positions
+    dense2 = mat2.to_dense()
+    x_true = rng.normal(size=mat2.ncols)
+    b = qr.rows_permutation().apply(dense2 @ x_true)
+    x = np.asarray(qr.solve(jnp.asarray(b)))
+    assert np.allclose(x, x_true, atol=1e-6), np.abs(x - x_true).max()
