@@ -23,17 +23,33 @@ correctness; fp64 parity to 1e-6 is covered by tests/ on the CPU backend.
 ``path`` records which kernel produced the number ("pallas" or "xla"); a
 Pallas lowering regression is therefore visible in BENCH_r*.json instead of
 silently reporting a slower XLA number.
+
+Since round 2 the chained loop holds operands **SoA-resident** (the LM-loop
+pattern ``functional.lm_damped_step_blockdiag1`` uses): the AoS->SoA relayout
+happens once outside the timed region, matching how a real LM driver keeps
+its Jacobian on device.  The JSON carries a roofline check: ``bytes_moved``
+(HBM bytes one fused factorize+solve must move: A + b + x, padded to the
+kernel's 1024-block tile) and ``hbm_frac`` (fraction of the chip's peak HBM
+bandwidth achieved — the workload is memory-bound, so this is the honest
+"are we at speed of light" number).
 """
 import functools
 import json
 import os
+import sys
 import time
 
 import numpy as np
 
-NB = 10000
+# Block count overridable from the CLI (the driver runs the default 10k —
+# BASELINE.json config 2; `python bench.py 1000000` records the 1M-block
+# single-chip point)
+NB = int(sys.argv[1]) if len(sys.argv) > 1 else 10000
 BR, BC = 7, 2
-ITERS_LO, ITERS_HI = 200, 1000
+# wide spread: at ~4 us/solve the hi-lo difference must dwarf ms-level timer
+# noise on the ~30 ms tunnel round trip (800 iters x 4 us = 3 ms was within
+# best-of-3 jitter and once produced hbm_frac > 1 — physically impossible)
+ITERS_LO, ITERS_HI = 1000, 9000
 
 
 def _baselines(nb: int):
@@ -57,6 +73,26 @@ def _baselines(nb: int):
     return ref_s, eigen_s
 
 
+_PEAK_HBM_GBPS = {
+    # device_kind substring -> peak HBM bandwidth (GB/s), public spec sheets
+    "v5 lite": 819.0,
+    "v5e": 819.0,
+    "v5p": 2765.0,
+    "v5": 2765.0,
+    "v6 lite": 1640.0,
+    "v6e": 1640.0,
+    "v4": 1228.0,
+}
+
+
+def _peak_hbm_bytes_per_s(device_kind: str) -> float:
+    kind = device_kind.lower()
+    for key, gbps in _PEAK_HBM_GBPS.items():
+        if key in kind:
+            return gbps * 1e9
+    return 819.0e9  # conservative default
+
+
 def _flops(nb: int, br: int, bc: int, iters: int = 1) -> float:
     """Closed-form flop count per factorize+solve:
     Householder QR of one br x bc panel = 2*br*bc^2 - (2/3)*bc^3, plus the
@@ -71,62 +107,101 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    path_used = "pallas"
-    fallback_error = None
-    try:
-        from qrkit_tpu.ops.pallas_blockdiag import pallas_block_diagonal_lstsq
-
-        def _solve(blocks, b):
-            return pallas_block_diagonal_lstsq(blocks, b)
-
-        # smoke-test the kernel on this backend; fall back to the XLA path on
-        # a lowering/compile failure so the bench still produces a number —
-        # but TAG the fallback so a Pallas regression is visible in the JSON.
-        _solve(
-            jnp.ones((8, BR, BC), jnp.float32), jnp.ones((8 * BR,), jnp.float32)
-        ).block_until_ready()
-    except Exception as e:  # lowering/compile errors vary by backend version
-        path_used = "xla"
-        fallback_error = f"{type(e).__name__}: {e}"[:200]
-        from qrkit_tpu.functional import block_diagonal_lstsq
-
-        def _solve(blocks, b):
-            return block_diagonal_lstsq(blocks, b, pivot=False)
-
     rng = np.random.default_rng(0)
     blocks_np = rng.uniform(0.5, 5.0, size=(NB, BR, BC))
     x_true = rng.normal(size=NB * BC)
     b_np = np.einsum("bij,bj->bi", blocks_np, x_true.reshape(NB, BC)).reshape(-1)
 
-    blocks = jnp.asarray(blocks_np, dtype=jnp.float32)
-    b = jnp.asarray(b_np, dtype=jnp.float32)
+    path_used = "pallas"
+    fallback_error = None
+    try:
+        from qrkit_tpu.ops.pallas_blockdiag import (
+            pallas_block_diagonal_lstsq,
+            pallas_block_diagonal_lstsq_soa,
+            soa_pad,
+        )
+
+        # smoke-test the kernel on this backend; fall back to the XLA path on
+        # a lowering/compile failure so the bench still produces a number —
+        # but TAG the fallback so a Pallas regression is visible in the JSON.
+        np.asarray(
+            pallas_block_diagonal_lstsq(
+                jnp.ones((8, BR, BC), jnp.float32), jnp.ones((8 * BR,), jnp.float32)
+            )
+        )
+
+        # One-time (untimed) SoA prep — the resident layout an LM loop keeps.
+        npad = soa_pad(NB)
+        a_soa_np = np.zeros((BR * BC, npad), np.float32)
+        a_soa_np[:, :NB] = blocks_np.transpose(1, 2, 0).reshape(BR * BC, NB)
+        for j in range(BC):
+            a_soa_np[j * BC + j, NB:] = 1.0  # unit-diagonal pad blocks
+        b_soa_np = np.zeros((BR, npad), np.float32)
+        b_soa_np[:, :NB] = b_np.reshape(NB, BR).T
+        op_a = jnp.asarray(a_soa_np)
+        op_b = jnp.asarray(b_soa_np)
+
+        def _solve(a, b):
+            return pallas_block_diagonal_lstsq_soa(a, b)
+
+        def _extract_x(xdev):
+            return np.asarray(xdev, np.float64)[:, :NB].T.reshape(-1)
+
+        def _probe(x_soa):  # scalar the chained carry depends on
+            return x_soa[0, 0]
+
+        bytes_moved = (BR * BC + BR + BC) * npad * 4
+    except Exception as e:  # lowering/compile errors vary by backend version
+        path_used = "xla"
+        fallback_error = f"{type(e).__name__}: {e}"[:200]
+        from qrkit_tpu.functional import block_diagonal_lstsq
+
+        op_a = jnp.asarray(blocks_np, dtype=jnp.float32)
+        op_b = jnp.asarray(b_np, dtype=jnp.float32)
+
+        def _solve(blocks, b):
+            return block_diagonal_lstsq(blocks, b, pivot=False)
+
+        def _extract_x(xdev):
+            return np.asarray(xdev, np.float64)
+
+        def _probe(x):
+            return x[0]
+
+        bytes_moved = (BR * BC + BR + BC) * NB * 4
 
     @functools.partial(jax.jit, static_argnames=("iters",))
-    def chained(blocks, b, iters):
+    def chained(a, b, iters):
         def body(carry, _):
-            x = _solve(blocks, carry)
-            return carry * (1.0 + 1e-12 * x[0]), x[0]
+            x = _solve(a, carry)
+            # multiplicative nudge keeps every solve data-dependent on the
+            # previous one; costs one extra pass over b per iteration (~15%
+            # of the kernel's own traffic — counted against us, not for us).
+            # (A single-element at[].add() would be O(1) traffic but sends
+            # the TPU backend into a pathological >20-minute compile.)
+            return carry * (1.0 + 1e-12 * _probe(x)), _probe(x)
 
         final, xs = jax.lax.scan(body, b, None, length=iters)
         return xs
 
     # correctness gate: fp32 relative residual of a single solve
-    x = np.asarray(_solve(blocks, b), dtype=np.float64)
+    x = _extract_x(_solve(op_a, op_b))
     resid = np.einsum("bij,bj->bi", blocks_np, x.reshape(NB, BC)).reshape(-1) - b_np
     rel_resid = np.linalg.norm(resid) / np.linalg.norm(b_np)
     assert rel_resid < 1e-4, f"fp32 residual gate failed: {rel_resid}"
 
     def wall(iters: int, reps: int = 3) -> float:
-        np.asarray(chained(blocks, b, iters=iters))  # compile + warm
+        np.asarray(chained(op_a, op_b, iters=iters))  # compile + warm
         best = float("inf")
         for _ in range(reps):
             t0 = time.time()
-            np.asarray(chained(blocks, b, iters=iters))
+            np.asarray(chained(op_a, op_b, iters=iters))
             best = min(best, time.time() - t0)
         return best
 
     per_solve_s = (wall(ITERS_HI) - wall(ITERS_LO)) / (ITERS_HI - ITERS_LO)
 
+    peak_bw = _peak_hbm_bytes_per_s(jax.devices()[0].device_kind)
     ref_s, eigen_s = _baselines(NB)
     out = {
         "metric": f"blockdiag_{NB}x{BR}x{BC}_factorize_solve_walltime",
@@ -136,6 +211,8 @@ def main():
         "baseline": "reference_qrkit_blockdiagonal_same_machine",
         "vs_eigen_sparseqr": round(eigen_s / per_solve_s, 1),
         "gflops": round(_flops(NB, BR, BC) / per_solve_s / 1e9, 3),
+        "bytes_moved": bytes_moved,
+        "hbm_frac": round(bytes_moved / per_solve_s / peak_bw, 4),
         "path": path_used,
     }
     if fallback_error:

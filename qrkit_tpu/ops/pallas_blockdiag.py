@@ -4,14 +4,20 @@ The flagship workload (BASELINE.json configs 1-2) is millions of tiny dense
 blocks (2x1, 7x2).  The XLA path (vmapped compact-WY) is correct but pays for
 multiple fused-loop passes over HBM; this kernel is the speed-of-light tier:
 
-* **Lane-batched layout**: the block batch is transposed to structure-of-arrays
-  ``[br*bc, nb]`` so each TPU lane owns one block.  Every per-block scalar of
-  the Householder recurrence becomes a ``[1, TILE]`` vector op on the VPU —
-  8×128-wide arithmetic with zero cross-lane communication.
+* **Tile-batched SoA layout**: the block batch lives structure-of-arrays as
+  ``[br*bc, n]`` — lane-major, one block per (sublane, lane) slot.  Each grid
+  step views every per-block scalar of the Householder recurrence as a full
+  ``[8, 128]`` VPU tile (1024 blocks), so the unrolled recurrence runs at
+  100% VPU occupancy with zero cross-lane communication.  (Round 1 used
+  ``[1, TILE]`` rows — 1 of 8 sublanes busy — and measured ~7% of HBM
+  bandwidth; this layout removes that 8x.)
+* **No relayout in the hot loop**: the ``*_soa`` entry points consume and
+  produce SoA-resident operands, so an LM loop that keeps its Jacobian SoA
+  (see ``functional.lm_damped_step_blockdiag1``) pays zero AoS<->SoA HBM
+  round trips per iteration.  The AoS wrappers transpose once at the API
+  boundary for drop-in compatibility.
 * **Full fusion**: QR factorization, Qᵀb and the back-substitution run in one
   kernel; HBM traffic is exactly (inputs + x), nothing else is materialized.
-* The grid walks lane-tiles of the batch; the unrolled recurrence is
-  O(br·bc²) vector ops per tile.
 
 This replaces the reference's per-block ``ColPivHouseholderQR`` loop
 (/root/reference/src/QRKit/BlockDiagonalSparseQR.h:432-526) — the "native
@@ -26,46 +32,76 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["pallas_block_diagonal_lstsq", "pallas_block_diagonal_qr_r"]
+__all__ = [
+    "pallas_block_diagonal_lstsq",
+    "pallas_block_diagonal_lstsq_soa",
+    "pallas_block_diagonal_qr_r",
+    "pallas_block_diagonal_qr_r_soa",
+    "soa_pad",
+]
 
-_TILE = 512  # lanes per grid step (multiple of 128)
+_LANE = 128
+_SUB = 8           # sublanes per grid step: every value is one (8, 128) tile
+_STEP = _SUB * _LANE  # blocks per grid step
 
 
-def _lstsq_kernel(br: int, bc: int):
-    """Generate the fused QR+solve kernel for static block shape (br, bc)."""
+def soa_pad(n: int) -> int:
+    """Blocks are processed in (8, 128) VPU tiles; the SoA batch axis must be
+    a multiple of 1024."""
+    return -(-n // _STEP) * _STEP
 
-    def kernel(a_ref, b_ref, x_ref):
-        dt = a_ref.dtype
-        # load SoA tiles: a[r][c] and rhs[r] are [1, TILE] rows
-        a = [[a_ref[r * bc + c : r * bc + c + 1, :] for c in range(bc)] for r in range(br)]
-        rhs = [b_ref[r : r + 1, :] for r in range(br)]
-        one = jnp.ones_like(a[0][0])
-        zero = jnp.zeros_like(a[0][0])
 
-        # Householder QR, unrolled; every quantity is a lane vector
-        for j in range(bc):
-            x0 = a[j][j]
-            sigma = zero
-            for r in range(j + 1, br):
-                sigma = sigma + a[r][j] * a[r][j]
-            norm = jnp.sqrt(x0 * x0 + sigma)
-            beta = jnp.where(x0 >= 0, -norm, norm)
-            degen = sigma <= 0
-            denom = jnp.where(degen, one, x0 - beta)
-            safe_beta = jnp.where(norm == 0, one, beta)
-            tau = jnp.where(degen, zero, (beta - x0) / safe_beta)
-            v = [zero] * br
-            v[j] = one
-            for r in range(j + 1, br):
-                v[r] = a[r][j] / denom
-            # apply H = I - tau v vᵀ to trailing columns and rhs
-            for c in range(j, bc):
-                w = zero
-                for r in range(j, br):
-                    w = w + v[r] * a[r][c]
-                w = tau * w
-                for r in range(j, br):
-                    a[r][c] = a[r][c] - v[r] * w
+def _pad_soa_identity(a_soa: jnp.ndarray, bc: int, n: int) -> jnp.ndarray:
+    """Pad the SoA batch axis with identity-ish blocks (unit diagonal) so the
+    padded lanes never divide by zero."""
+    np_ = soa_pad(n)
+    if np_ == n:
+        return a_soa
+    e, dt = a_soa.shape[0], a_soa.dtype
+    pad = jnp.zeros((e, np_ - n), dt)
+    eye_rows = jnp.asarray([j * bc + j for j in range(bc)])
+    pad = pad.at[eye_rows].set(1.0)
+    return jnp.concatenate([a_soa, pad], axis=1)
+
+
+def _pad_soa_zero(v_soa: jnp.ndarray, n: int) -> jnp.ndarray:
+    np_ = soa_pad(n)
+    if np_ == n:
+        return v_soa
+    return jnp.concatenate(
+        [v_soa, jnp.zeros((v_soa.shape[0], np_ - n), v_soa.dtype)], axis=1
+    )
+
+
+def _householder_inplace(a, rhs_list, br: int, bc: int):
+    """Unrolled Householder QR on per-element tiles ``a[r][c]``; each rhs in
+    ``rhs_list`` (a list of lists of per-row tiles) is updated by Hᵀ too."""
+    one = jnp.ones_like(a[0][0])
+    zero = jnp.zeros_like(a[0][0])
+    for j in range(bc):
+        x0 = a[j][j]
+        sigma = zero
+        for r in range(j + 1, br):
+            sigma = sigma + a[r][j] * a[r][j]
+        norm = jnp.sqrt(x0 * x0 + sigma)
+        beta = jnp.where(x0 >= 0, -norm, norm)
+        degen = sigma <= 0
+        denom = jnp.where(degen, one, x0 - beta)
+        safe_beta = jnp.where(norm == 0, one, beta)
+        tau = jnp.where(degen, zero, (beta - x0) / safe_beta)
+        v = [zero] * br
+        v[j] = one
+        for r in range(j + 1, br):
+            v[r] = a[r][j] / denom
+        # apply H = I - tau v vᵀ to trailing columns and each rhs
+        for c in range(j, bc):
+            w = zero
+            for r in range(j, br):
+                w = w + v[r] * a[r][c]
+            w = tau * w
+            for r in range(j, br):
+                a[r][c] = a[r][c] - v[r] * w
+        for rhs in rhs_list:
             w = zero
             for r in range(j, br):
                 w = w + v[r] * rhs[r]
@@ -73,17 +109,65 @@ def _lstsq_kernel(br: int, bc: int):
             for r in range(j, br):
                 rhs[r] = rhs[r] - v[r] * w
 
+
+def _lstsq_kernel(br: int, bc: int):
+    """Fused QR + LS-solve kernel for static block shape (br, bc).
+
+    Refs are [rows, 8, 128]: one full VPU tile per per-block scalar.
+    """
+
+    def kernel(a_ref, b_ref, x_ref):
+        a = [[a_ref[r * bc + c] for c in range(bc)] for r in range(br)]
+        rhs = [b_ref[r] for r in range(br)]
+        _householder_inplace(a, [rhs], br, bc)
         # back substitution on the bc x bc upper-triangular R
-        x = [zero] * bc
+        x = [None] * bc
         for j in range(bc - 1, -1, -1):
             acc = rhs[j]
             for c in range(j + 1, bc):
                 acc = acc - a[j][c] * x[c]
             x[j] = acc / a[j][j]
         for j in range(bc):
-            x_ref[j : j + 1, :] = x[j]
+            x_ref[j] = x[j]
 
     return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pallas_block_diagonal_lstsq_soa(
+    a_soa: jnp.ndarray, b_soa: jnp.ndarray, interpret: bool = False
+) -> jnp.ndarray:
+    """SoA-native fused QR + LS solve.
+
+    ``a_soa`` is ``[br*bc, n]`` (entry (r, c) of block k at ``[r*bc+c, k]``),
+    ``b_soa`` is ``[br, n]``; returns ``x_soa [bc, n]``.  ``n`` must be a
+    multiple of :func:`soa_pad` granularity (1024) with padded lanes holding
+    unit-diagonal blocks — callers keeping operands SoA-resident across an LM
+    loop pad once with :func:`soa_pad`/``_pad_soa_identity`` and never
+    relayout again.
+    """
+    ebc, n = a_soa.shape
+    br = b_soa.shape[0]
+    bc = ebc // br
+    if n % _STEP:
+        raise ValueError(f"SoA batch axis {n} not a multiple of {_STEP}")
+    dt = a_soa.dtype
+    a3 = a_soa.reshape(ebc, n // _LANE, _LANE)
+    b3 = b_soa.reshape(br, n // _LANE, _LANE)
+    x3 = pl.pallas_call(
+        _lstsq_kernel(br, bc),
+        out_shape=jax.ShapeDtypeStruct((bc, n // _LANE, _LANE), dt),
+        grid=(n // _STEP,),
+        in_specs=[
+            pl.BlockSpec((ebc, _SUB, _LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((br, _SUB, _LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (bc, _SUB, _LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(a3, b3)
+    return x3.reshape(bc, n)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -93,72 +177,58 @@ def pallas_block_diagonal_lstsq(
     """Fused lane-batched QR + LS solve of a [nb, br, bc] block-diagonal system.
 
     Equivalent to :func:`qrkit_tpu.functional.block_diagonal_lstsq` (pivot=False)
-    — returns x [nb*bc] minimizing ||A x - b|| blockwise.
+    — returns x [nb*bc] minimizing ||A x - b|| blockwise.  AoS compatibility
+    wrapper: relayouts at the boundary; hot loops should hold operands SoA and
+    call :func:`pallas_block_diagonal_lstsq_soa` directly.
     """
     nb, br, bc = blocks.shape
-    dt = blocks.dtype
-    nbp = -(-nb // _TILE) * _TILE
-    # SoA layout: [br*bc, nb] and [br, nb]
     a_soa = jnp.transpose(blocks, (1, 2, 0)).reshape(br * bc, nb)
     b_soa = jnp.transpose(b[: nb * br].reshape(nb, br), (1, 0))
-    if nbp != nb:
-        # pad lanes with identity-ish blocks (diag 1) to avoid 0/0
-        pad_a = jnp.zeros((br * bc, nbp - nb), dt)
-        eye_rows = jnp.asarray([j * bc + j for j in range(bc)])
-        pad_a = pad_a.at[eye_rows].set(1.0)
-        a_soa = jnp.concatenate([a_soa, pad_a], axis=1)
-        b_soa = jnp.concatenate([b_soa, jnp.zeros((br, nbp - nb), dt)], axis=1)
-
-    grid = (nbp // _TILE,)
-    x_soa = pl.pallas_call(
-        _lstsq_kernel(br, bc),
-        out_shape=jax.ShapeDtypeStruct((bc, nbp), dt),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((br * bc, _TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((br, _TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((bc, _TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(a_soa, b_soa)
+    a_soa = _pad_soa_identity(a_soa, bc, nb)
+    b_soa = _pad_soa_zero(b_soa, nb)
+    x_soa = pallas_block_diagonal_lstsq_soa(a_soa, b_soa, interpret=interpret)
     return jnp.transpose(x_soa[:, :nb], (1, 0)).reshape(nb * bc)
 
 
 def _qr_r_kernel(br: int, bc: int):
     def kernel(a_ref, r_ref):
-        dt = a_ref.dtype
-        a = [[a_ref[r * bc + c : r * bc + c + 1, :] for c in range(bc)] for r in range(br)]
-        one = jnp.ones_like(a[0][0])
-        zero = jnp.zeros_like(a[0][0])
-        for j in range(bc):
-            x0 = a[j][j]
-            sigma = zero
-            for r in range(j + 1, br):
-                sigma = sigma + a[r][j] * a[r][j]
-            norm = jnp.sqrt(x0 * x0 + sigma)
-            beta = jnp.where(x0 >= 0, -norm, norm)
-            degen = sigma <= 0
-            denom = jnp.where(degen, one, x0 - beta)
-            safe_beta = jnp.where(norm == 0, one, beta)
-            tau = jnp.where(degen, zero, (beta - x0) / safe_beta)
-            v = [zero] * br
-            v[j] = one
-            for r in range(j + 1, br):
-                v[r] = a[r][j] / denom
-            for c in range(j, bc):
-                w = zero
-                for r in range(j, br):
-                    w = w + v[r] * a[r][c]
-                w = tau * w
-                for r in range(j, br):
-                    a[r][c] = a[r][c] - v[r] * w
+        a = [[a_ref[r * bc + c] for c in range(bc)] for r in range(br)]
+        _householder_inplace(a, [], br, bc)
         k = 0
         for j in range(bc):
             for c in range(j, bc):
-                r_ref[k : k + 1, :] = a[j][c]
+                r_ref[k] = a[j][c]
                 k += 1
 
     return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("br", "interpret"))
+def pallas_block_diagonal_qr_r_soa(
+    a_soa: jnp.ndarray, br: int, interpret: bool = False
+) -> jnp.ndarray:
+    """SoA-native R factors: ``a_soa [br*bc, n]`` → packed upper-triangular
+    entries ``[bc*(bc+1)/2, n]`` in row-major (j, c>=j) order."""
+    ebc, n = a_soa.shape
+    bc = ebc // br
+    ntri = bc * (bc + 1) // 2
+    if n % _STEP:
+        raise ValueError(f"SoA batch axis {n} not a multiple of {_STEP}")
+    dt = a_soa.dtype
+    a3 = a_soa.reshape(ebc, n // _LANE, _LANE)
+    r3 = pl.pallas_call(
+        _qr_r_kernel(br, bc),
+        out_shape=jax.ShapeDtypeStruct((ntri, n // _LANE, _LANE), dt),
+        grid=(n // _STEP,),
+        in_specs=[
+            pl.BlockSpec((ebc, _SUB, _LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec(
+            (ntri, _SUB, _LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(a3)
+    return r3.reshape(ntri, n)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -168,20 +238,7 @@ def pallas_block_diagonal_qr_r(
     """Lane-batched R factors of a [nb, br, bc] batch → packed [nb, bc*(bc+1)/2]
     upper-triangular entries in row-major (j, c>=j) order."""
     nb, br, bc = blocks.shape
-    dt = blocks.dtype
-    ntri = bc * (bc + 1) // 2
-    nbp = -(-nb // _TILE) * _TILE
     a_soa = jnp.transpose(blocks, (1, 2, 0)).reshape(br * bc, nb)
-    if nbp != nb:
-        a_soa = jnp.concatenate([a_soa, jnp.zeros((br * bc, nbp - nb), dt)], axis=1)
-    r_soa = pl.pallas_call(
-        _qr_r_kernel(br, bc),
-        out_shape=jax.ShapeDtypeStruct((ntri, nbp), dt),
-        grid=(nbp // _TILE,),
-        in_specs=[
-            pl.BlockSpec((br * bc, _TILE), lambda i: (0, i), memory_space=pltpu.VMEM)
-        ],
-        out_specs=pl.BlockSpec((ntri, _TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(a_soa)
+    a_soa = _pad_soa_identity(a_soa, bc, nb)
+    r_soa = pallas_block_diagonal_qr_r_soa(a_soa, br, interpret=interpret)
     return jnp.transpose(r_soa[:, :nb], (1, 0))
