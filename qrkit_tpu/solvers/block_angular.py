@@ -18,6 +18,8 @@ composite R is ever built on the solve path.
 """
 from __future__ import annotations
 
+from typing import Optional
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -45,8 +47,12 @@ class _RowSubsetQR(QRSolver):
     ``applyRowPermutation`` role).  Peak inner memory is O(nnz-rows × cols)
     instead of O(rows × cols)."""
 
-    def __init__(self, inner: QRSolver):
+    def __init__(self, inner: QRSolver, plan_cache: Optional[dict] = None):
         self.inner = inner
+        # pattern-only bookkeeping (row selection, CSR gather) cached across
+        # repeated computes on the same sparsity (the LM pattern) — the
+        # banded family's fingerprint-keyed plan-cache lesson applied here
+        self._plan_cache = plan_cache if plan_cache is not None else {}
 
     @property
     def _health_check_zero_pivot(self):
@@ -66,26 +72,42 @@ class _RowSubsetQR(QRSolver):
 
     def compute(self, mat: SparseCSR) -> "_RowSubsetQR":
         nbot, n = mat.shape
-        row_nnz = np.diff(mat.indptr)
-        nz = np.nonzero(row_nnz > 0)[0]
-        if nz.size < n:  # keep the inner problem portrait
-            extra = np.setdiff1d(np.arange(nbot), nz)[: n - nz.size]
-            nz = np.sort(np.concatenate([nz, extra]))
-        rest = np.setdiff1d(np.arange(nbot), nz)
-        k = int(nz.size)
+        fp = ("rowsubset", mat.pattern_fingerprint(), nbot, n)
+        plan = self._plan_cache.get("rowsubset")
+        if plan is None or plan["fp"] != fp:
+            row_nnz = np.diff(mat.indptr)
+            nz = np.nonzero(row_nnz > 0)[0]
+            if nz.size < n:  # keep the inner problem portrait
+                extra = np.setdiff1d(np.arange(nbot), nz)[: n - nz.size]
+                nz = np.sort(np.concatenate([nz, extra]))
+            rest = np.setdiff1d(np.arange(nbot), nz)
+            k = int(nz.size)
+            dest = np.empty(nbot, dtype=np.int64)
+            dest[nz] = np.arange(k)
+            dest[rest] = k + np.arange(rest.size)
+            # gather for the dense copy of just the selected rows
+            counts = row_nnz[nz]
+            total = int(counts.sum())
+            starts = (
+                np.concatenate([[0], np.cumsum(counts[:-1])]) if k else np.zeros(0, np.int64)
+            )
+            pos = np.arange(total) - np.repeat(starts, counts)
+            g = np.repeat(mat.indptr[:-1][nz], counts) + pos
+            plan = {
+                "fp": fp,
+                "k": k,
+                "rows_perm": Permutation(dest),
+                "g": g,
+                "sub_r": np.repeat(np.arange(k), counts),
+                "sub_c": mat.indices[g],
+            }
+            self._plan_cache["rowsubset"] = plan
+        k = plan["k"]
         self._nbot, self._n, self._k = nbot, n, k
-        dest = np.empty(nbot, dtype=np.int64)
-        dest[nz] = np.arange(k)
-        dest[rest] = k + np.arange(rest.size)
-        self._rows_perm = Permutation(dest)
-        # dense copy of just the selected rows (vectorized CSR gather)
-        counts = row_nnz[nz]
-        total = int(counts.sum())
-        starts = np.concatenate([[0], np.cumsum(counts[:-1])]) if k else np.zeros(0, np.int64)
-        pos = np.arange(total) - np.repeat(starts, counts)
-        g = np.repeat(mat.indptr[:-1][nz], counts) + pos
+        self._rows_perm = plan["rows_perm"]
+        # per-compute work: ONE O(nnz) value scatter through the cached gather
         sub = np.zeros((k, n), dtype=mat.data.dtype if mat.nnz else np.float64)
-        sub[np.repeat(np.arange(k), counts), mat.indices[g]] = mat.data[g]
+        sub[plan["sub_r"], plan["sub_c"]] = mat.data[plan["g"]]
         self.inner.compute(jnp.asarray(sub))
         self._info = self.inner.info()
         return self
@@ -134,11 +156,30 @@ class BlockAngularQR(QRSolver):
     ``left_solver`` factors A1 (easy/structured); ``right_solver`` factors the
     dense-ish ``Q1ᵀA2`` bottom rows.  Any :class:`QRSolver` works on either side
     — the reference's template composition as Python composition.
+
+    ``mesh``/``axis`` distribute the composition glue: a dense A2 is placed
+    with its row axis sharded before the ``Q1ᵀ·A2`` product, so the product
+    partitions over the same data-parallel axis as a sharded left solver
+    (pass the mesh to the sub-solvers too — e.g. ``BlockDiagonalQR(mesh=m)``
+    left and ``TSQRDenseQR(n_shards, mesh=m)`` right — for the fully
+    distributed stack; the TSQR all-gather is then the only collective).
     """
 
-    def __init__(self, left_solver: QRSolver, right_solver: QRSolver):
+    def __init__(
+        self,
+        left_solver: QRSolver,
+        right_solver: QRSolver,
+        mesh=None,
+        axis: str = "dp",
+    ):
         self.left = left_solver
         self.right = right_solver
+        self.mesh = mesh
+        self.axis = axis
+        # fingerprint-keyed pattern bookkeeping shared across repeated
+        # computes on the same sparsity (LM refactorizes one structure per
+        # iteration; everything but the values is pattern-only)
+        self._plan_cache: dict = {}
 
     @property
     def rows(self) -> int:
@@ -171,9 +212,15 @@ class BlockAngularQR(QRSolver):
         self._r12_coo = None
         if isinstance(self.right, _RowSubsetQR):  # recompute: unwrap
             self.right = self.right.inner
-        if isinstance(mat.right, SparseCSR) and self._left_supports_sparse_a2():
+        sparse_a2 = isinstance(mat.right, SparseCSR)
+        if sparse_a2 and self._left_supports_sparse_a2():
             j2_bot = self._solve_right_block_sparse(mat.right)
-            self.right = _RowSubsetQR(self.right)
+        elif sparse_a2 and self._left_supports_chunked_sparse_a2():
+            j2_bot = self._solve_right_block_sparse_chunked(mat.right)
+        else:
+            j2_bot = None
+        if j2_bot is not None:
+            self.right = _RowSubsetQR(self.right, plan_cache=self._plan_cache)
             self.right.compute(j2_bot)
             sigma2 = self.right.cols_permutation()
             inv_s2 = sigma2.inverse().indices  # old col -> new col position
@@ -185,6 +232,13 @@ class BlockAngularQR(QRSolver):
             self._r12 = None
         else:
             a2 = _to_device_dense(mat.right)
+            if self.mesh is not None:
+                import jax
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                a2 = jax.device_put(
+                    a2, NamedSharding(self.mesh, P(self.axis, None))
+                )
             lperm = self.left.rows_permutation()
             if not lperm.is_identity():
                 a2 = a2[jnp.asarray(lperm.gather_indices())]
@@ -218,6 +272,21 @@ class BlockAngularQR(QRSolver):
             and self.left.cols == self.left._nb * self.left._bc
         )
 
+    def _left_supports_chunked_sparse_a2(self) -> bool:
+        from .banded_blocked import BandedBlockedQR
+        from .segmented_banded import SegmentedBandedQR
+
+        return isinstance(self.left, (BandedBlockedQR, SegmentedBandedQR))
+
+    def _a2_cache_key(self, a2: SparseCSR):
+        lperm = self.left.rows_permutation()
+        ph = (
+            None
+            if lperm.is_identity()
+            else hash(lperm.indices.tobytes())
+        )
+        return (a2.pattern_fingerprint(), a2.shape, ph)
+
     def _solve_right_block_sparse(self, a2: SparseCSR) -> SparseCSR:
         """Sparse solveRightBlock for a block-diagonal left solver.
 
@@ -226,55 +295,134 @@ class BlockAngularQR(QRSolver):
         rows into a device-COO J2-top (kept sparse: O(nnz·br) memory instead of
         O(n1·m2)) and complement+tail rows into a host CSR handed to the right
         solver.  Mirrors the reference's sparse QProduct + solveRightBlock
-        (BlockAngularSparseQR.h:383-397)."""
+        (BlockAngularSparseQR.h:383-397).
+
+        All bookkeeping except the values is pattern-only and cached under the
+        A2 fingerprint (LM refactorizes one structure per iteration): repeated
+        computes do one O(nnz) value scatter, one batched device matmul, and
+        one O(nnz) value reorder through the cached CSR sort."""
         left = self.left
         nb, br, bc = left._nb, left._br, left._bc
         m1, m2, n1 = self._m1, self._m2, self._n1
-        lperm = left.rows_permutation()
-        if not lperm.is_identity():
-            a2 = a2.permute_rows(lperm)
+        key = ("blockdiag_a2",) + self._a2_cache_key(a2) + (nb, br, bc)
+        plan = self._plan_cache.get("blockdiag_a2")
+        if plan is None or plan["key"] != key:
+            lperm = left.rows_permutation()
+            row_ids = np.repeat(np.arange(a2.nrows), np.diff(a2.indptr))
+            if not lperm.is_identity():
+                row_ids = lperm.indices[row_ids]  # P*A2 scatters rows
+            cols = a2.indices
+            body = row_ids < nb * br
+            body_pos = np.nonzero(body)[0]
+            b_of = row_ids[body] // br
+            r_of = row_ids[body] % br
+            keys = b_of * a2.ncols + cols[body]
+            uniq, inv = np.unique(keys, return_inverse=True)
+            K = int(uniq.size)
+            pair_b = (uniq // a2.ncols).astype(np.int64)
+            pair_c = (uniq % a2.ncols).astype(np.int64)
+            top_rows = (pair_b[:, None] * bc + np.arange(bc)).reshape(-1)
+            top_cols = np.repeat(pair_c, bc)
+            comp_w = br - bc
+            comp_rows = (
+                nb * bc + pair_b[:, None] * comp_w + np.arange(comp_w)
+            ).reshape(-1) - m1
+            comp_cols = np.repeat(pair_c, comp_w)
+            tail_pos = np.nonzero(~body)[0]
+            bot_rows = np.concatenate([comp_rows, row_ids[~body] - m1])
+            bot_cols = np.concatenate([comp_cols, cols[~body]])
+            # bottom CSR structure: (row, col) pairs are distinct by
+            # construction (complement rows < nb*br ≠ tail rows; per-pair
+            # complement coordinates unique), so the CSR build reduces to one
+            # cached lexsort permutation applied to the value vector
+            order = np.lexsort((bot_cols, bot_rows))
+            indptr = np.zeros(n1 - m1 + 1, dtype=np.int64)
+            np.add.at(indptr, bot_rows + 1, 1)
+            plan = {
+                "key": key,
+                "K": K,
+                "w_scatter": inv * br + r_of,
+                "body_pos": body_pos,
+                "tail_pos": tail_pos,
+                "pair_b_dev": jnp.asarray(pair_b),
+                "top_rows_dev": jnp.asarray(top_rows),
+                "top_cols": top_cols,
+                "bot_order": order,
+                "bot_indptr": np.cumsum(indptr),
+                "bot_indices": bot_cols[order],
+            }
+            self._plan_cache["blockdiag_a2"] = plan
 
-        row_ids = np.repeat(np.arange(a2.nrows), np.diff(a2.indptr))
-        cols = a2.indices
         vals = a2.data
-        body = row_ids < nb * br
-        b_of = row_ids[body] // br
-        r_of = row_ids[body] % br
-        keys = b_of * a2.ncols + cols[body]
-        uniq, inv = np.unique(keys, return_inverse=True)
-        K = int(uniq.size)
+        K = plan["K"]
         W = np.zeros((K, br), dtype=vals.dtype if vals.size else np.float64)
-        W[inv, r_of] = vals[body]
-        pair_b = (uniq // a2.ncols).astype(np.int64)
-        pair_c = (uniq % a2.ncols).astype(np.int64)
+        W.reshape(-1)[plan["w_scatter"]] = vals[plan["body_pos"]]
 
         # one batched per-pair Qᵀ·w on the device (full-precision matmul —
         # bf16 here would degrade R12 and every solve on this path to ~1e-3)
         QtW = highest_precision(jnp.einsum)(
-            "kij,ki->kj", left.Q[jnp.asarray(pair_b)], jnp.asarray(W)
+            "kij,ki->kj", left.Q[plan["pair_b_dev"]], jnp.asarray(W)
         )  # [K, br]
 
         # economy rows -> J2 top (device COO, FULL_Q coordinates b*bc + i)
-        top_rows = (pair_b[:, None] * bc + np.arange(bc)).reshape(-1)
-        top_cols = np.repeat(pair_c, bc)
-        self._top_rows_dev = jnp.asarray(top_rows)
-        self._top_cols = top_cols
+        self._top_rows_dev = plan["top_rows_dev"]
+        self._top_cols = plan["top_cols"]
         self._top_vals_dev = QtW[:, :bc].reshape(-1)
 
-        # complement rows -> J2 bottom (local row = global - m1)
-        comp_w = br - bc
-        comp_rows = (
-            nb * bc + pair_b[:, None] * comp_w + np.arange(comp_w)
-        ).reshape(-1) - m1
-        comp_cols = np.repeat(pair_c, comp_w)
+        # complement rows -> J2 bottom; zero-tail rows of A1 pass through
+        # Q1ᵀ unchanged
         comp_vals = np.asarray(QtW[:, bc:]).reshape(-1)
-        # zero-tail rows of A1 pass through Q1ᵀ unchanged
-        tail_rows = row_ids[~body] - m1
-        bot_rows = np.concatenate([comp_rows, tail_rows])
-        bot_cols = np.concatenate([comp_cols, cols[~body]])
-        bot_vals = np.concatenate([comp_vals, vals[~body]])
+        bot_vals = np.concatenate([comp_vals, vals[plan["tail_pos"]]])
+        return SparseCSR(
+            (n1 - m1, m2),
+            plan["bot_indptr"],
+            plan["bot_indices"],
+            bot_vals[plan["bot_order"]],
+        )
+
+    def _solve_right_block_sparse_chunked(self, a2: SparseCSR) -> SparseCSR:
+        """Keep-sparse solveRightBlock for banded/segmented left solvers.
+
+        The reference's sparse QProduct (BandedBlockedSparseQR.h:693, 722;
+        BlockAngularSparseQR.h:360-397) lets a sparse A2 flow through the
+        implicit banded Q without a dense [n1, m2] copy.  Here Q1ᵀ is applied
+        to fixed-width COLUMN CHUNKS of A2 (peak memory O(n1·w), w ≤ 128
+        lanes) and the results are pruned back to sparsity: rows no reflector
+        window touched stay exactly zero, so the output nnz is the union of
+        the band windows each column intersects — the same fill the
+        reference's pruned sparse J2 has.  J2-top becomes the device-COO R12
+        (like the block-diagonal sparse path); bottom rows go to the right
+        solver as CSR."""
+        left = self.left
+        m1, m2, n1 = self._m1, self._m2, self._n1
+        lperm = left.rows_permutation()
+        if not lperm.is_identity():
+            a2 = a2.permute_rows(lperm)
+        w = min(128, m2)
+        top_r, top_c, top_v = [], [], []
+        bot_r, bot_c, bot_v = [], [], []
+        all_rows = np.repeat(np.arange(n1), np.diff(a2.indptr))
+        dt = a2.data.dtype if a2.nnz else np.float64
+        for c0 in range(0, m2, w):
+            nc = min(w, m2 - c0)
+            sel = (a2.indices >= c0) & (a2.indices < c0 + nc)
+            dense = np.zeros((n1, nc), dtype=dt)
+            dense[all_rows[sel], a2.indices[sel] - c0] = a2.data[sel]
+            j2 = np.asarray(left.apply_qt(jnp.asarray(dense)))
+            r, c = np.nonzero(j2[:m1])
+            top_r.append(r)
+            top_c.append(c + c0)
+            top_v.append(j2[r, c])
+            r, c = np.nonzero(j2[m1:])
+            bot_r.append(r)
+            bot_c.append(c + c0)
+            bot_v.append(j2[m1 + r, c])
+        self._top_rows_dev = jnp.asarray(np.concatenate(top_r))
+        self._top_cols = np.concatenate(top_c)
+        self._top_vals_dev = jnp.asarray(np.concatenate(top_v))
         return SparseCSR.from_triplets(
-            bot_rows, bot_cols, bot_vals, (n1 - m1, m2)
+            np.concatenate(bot_r), np.concatenate(bot_c), np.concatenate(bot_v),
+            (n1 - m1, m2),
         )
 
     def r_diagonal(self) -> jnp.ndarray:

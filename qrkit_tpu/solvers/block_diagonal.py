@@ -76,11 +76,24 @@ class BlockDiagonalQR(QRSolver):
     ``ColPivHouseholderQR`` block solver, test-qrkit.cpp:50-51) and composes the
     per-block permutations into the global column permutation
     (BlockDiagonalSparseQR.h:519-521).
+
+    ``mesh``/``axis`` distribute the factorization: the block batch is placed
+    with its leading (block) axis sharded over the mesh axis before the
+    vmapped QR, so factors, applies and solves stay sharded end-to-end with
+    zero communication (block-diagonal QR is the pure-DP case, SURVEY §2.3).
     """
 
-    def __init__(self, q_format: QFormat = QFormat.FULL_Q, pivot: bool = True):
+    def __init__(
+        self,
+        q_format: QFormat = QFormat.FULL_Q,
+        pivot: bool = True,
+        mesh=None,
+        axis: str = "dp",
+    ):
         self.q_format = q_format
         self.pivot = pivot
+        self.mesh = mesh
+        self.axis = axis
         # per-block ColPiv is rank-revealing: deficiency reported via rank()
         self._health_check_zero_pivot = not pivot
         self._computed = False
@@ -114,7 +127,12 @@ class BlockDiagonalQR(QRSolver):
         self._tail = mat.nrows - self._nb * self._br
         self._row_perm = row_perm if row_perm is not None else Permutation.identity(mat.nrows)
 
-        self.Q, self.R, local_perm = _factorize_blocks(mat.blocks, pivot=self.pivot)
+        blocks = mat.blocks
+        if self.mesh is not None:
+            from ..parallel.mesh import shard_leading_axis
+
+            blocks = shard_leading_axis(blocks, self.mesh, self.axis)
+        self.Q, self.R, local_perm = _factorize_blocks(blocks, pivot=self.pivot)
 
         # global column permutation from per-block pivots (identity on any
         # zero tail columns past nb*bc)

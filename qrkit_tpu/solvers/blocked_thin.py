@@ -29,6 +29,7 @@ from ..ops.householder import (
     apply_wy,
     build_t_factor,
     colpiv_householder_qr,
+    highest_precision,
     panel_qr_yt,
     rank_from_diag,
     rank_masked_triangular_solve,
@@ -118,6 +119,51 @@ class BlockedThinDenseQR(QRSolver):
         )[:, 0]
 
 
+@functools.partial(jax.jit, static_argnames=("c", "maxh", "nfull"))
+@highest_precision
+def _thin_sparse_factorize_scan(workpad: jnp.ndarray, c: int, maxh: int, nfull: int):
+    """All full-width panels of the thin sparse factorization as ONE
+    ``lax.scan`` — O(1) dispatches per factorize instead of two jitted calls
+    plus host slicing per panel (~500 tunnel round trips at n=512, c=2).
+
+    ``workpad`` is the dense working matrix padded with ``maxh`` zero rows so
+    every [maxh, c] panel slice is in-bounds.  Panel sparsity extents need no
+    explicit bookkeeping on the device: rows past a panel's nnz extent are
+    structurally zero, Householder reflectors inherit those zeros, and the
+    trailing compact-WY update is therefore an exact identity there — the
+    padded panel computes bit-for-bit the same factors as the extent-sliced
+    one (zeros are exact identity elements of every sum involved).
+
+    Returns (workpad, Ys [nfull, maxh, c], Ts [nfull, c, c],
+    lperms [nfull, c]).
+    """
+    mpad, n = workpad.shape
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+
+    def body(wp, i):
+        p0 = i * c
+        zero = jnp.zeros((), p0.dtype)
+        # in-panel ColPiv on the unpermuted panel, then the full-height
+        # column reorder (incl. rows above the diagonal — the R assembly of
+        # BlockedThinSparseQR.h:271-279)
+        panel = jax.lax.dynamic_slice(wp, (p0, p0), (maxh, c))
+        Y, taus, Rsub, lperm = colpiv_householder_qr(panel)
+        T = build_t_factor(Y, taus)
+        colwin = jax.lax.dynamic_slice(wp, (zero, p0), (mpad, c))
+        wp = jax.lax.dynamic_update_slice(wp, colwin[:, lperm], (zero, p0))
+        # trailing update on columns past the panel; R written into the panel
+        win = jax.lax.dynamic_slice(wp, (p0, zero), (maxh, n))
+        upd = apply_wy(Y, T, win, transpose=True)
+        win = jnp.where((col_iota >= p0 + c)[None, :], upd, win)
+        win = jax.lax.dynamic_update_slice(win, jnp.triu(Rsub), (zero, p0))
+        wp = jax.lax.dynamic_update_slice(wp, win, (p0, zero))
+        return wp, (Y, T, lperm)
+
+    steps = jnp.arange(nfull, dtype=jnp.int32)
+    workpad, (Ys, Ts, lperms) = jax.lax.scan(body, workpad, steps)
+    return workpad, Ys, Ts, lperms
+
+
 class BlockedThinSparseQR(QRSolver):
     """Thin QR of a sparse (or dense) matrix with orderings and per-panel
     column pivoting (BlockedThinSparseQR.h:105-283).
@@ -127,12 +173,17 @@ class BlockedThinSparseQR(QRSolver):
     into a Householder column permutation (:150-159) with exact ``rank()``;
     rank-deficient solves complete the decomposition (one small ColPiv QR of
     R) and return the residual-optimal basic solution.
+
+    ``fused=True`` (default) runs all full-width panels as one compiled
+    ``lax.scan`` (one dispatch per factorize); ``fused=False`` keeps the
+    eager per-panel loop (regression cross-check — identical factors).
     """
 
     _health_check_zero_pivot = False  # rank-revealing: deficiency reported via rank()
 
-    def __init__(self, suggested_block_cols: int = 2):
+    def __init__(self, suggested_block_cols: int = 2, fused: bool = True):
         self.c = suggested_block_cols
+        self.fused = fused
 
     @property
     def rows(self) -> int:
@@ -158,11 +209,9 @@ class BlockedThinSparseQR(QRSolver):
         _, ends = pmat.row_ranges()
         heights = []
         prev_h = 0
-        col_max_row = np.zeros(n, dtype=np.int64)
         # per-column last nonzero row
+        col_max_row = np.full(n, -1, dtype=np.int64)
         row_ids = np.repeat(np.arange(m), np.diff(pmat.indptr))
-        for c in range(n):
-            col_max_row[c] = -1
         np.maximum.at(col_max_row, pmat.indices, row_ids)
         for p0 in _panel_starts(n, self.c):
             pc = min(self.c, n - p0)
@@ -178,6 +227,26 @@ class BlockedThinSparseQR(QRSolver):
             prev_h = h
         return heights
 
+    def _eager_panel(self, working, p0: int, h: int, pc: int, maxh: int, house):
+        """One eager panel step (the ragged final panel, and the fused=False
+        cross-check path)."""
+        dt = working.dtype
+        sub = working[p0 : p0 + h, p0 : p0 + pc]
+        Y, taus, Rsub, lperm = colpiv_householder_qr(sub)
+        T = build_t_factor(Y, taus)
+        # physically reorder the panel's columns (incl. rows above diagonal,
+        # matching the R assembly of BlockedThinSparseQR.h:271-279)
+        working = working.at[:, p0 : p0 + pc].set(working[:, p0 + lperm])
+        house[p0 : p0 + pc] = house[p0 + np.asarray(lperm)]
+        working = working.at[p0 : p0 + h, p0 : p0 + pc].set(jnp.triu(Rsub))
+        if p0 + pc < self._n:
+            working = working.at[p0 : p0 + h, p0 + pc :].set(
+                apply_wy(Y, T, working[p0 : p0 + h, p0 + pc :], transpose=True)
+            )
+        Yp = jnp.zeros((maxh, self.c), dt).at[:h, :pc].set(Y)
+        Tp = jnp.zeros((self.c, self.c), dt).at[:pc, :pc].set(T)
+        return working, Yp, Tp
+
     def compute(self, mat: Union[SparseCSR, jnp.ndarray]) -> "BlockedThinSparseQR":
         if not isinstance(mat, SparseCSR):
             mat = SparseCSR.from_dense(np.asarray(mat))
@@ -187,29 +256,41 @@ class BlockedThinSparseQR(QRSolver):
         working = jnp.asarray(pmat.to_dense())
         dt = working.dtype
         maxh = max(heights)
-        Ys, Ts, starts = [], [], []
-        house = np.arange(self._n, dtype=np.int64)
-        for (p0, h) in zip(_panel_starts(self._n, self.c), heights):
-            pc = min(self.c, self._n - p0)
-            sub = working[p0 : p0 + h, p0 : p0 + pc]
-            Y, taus, Rsub, lperm = colpiv_householder_qr(sub)
-            T = build_t_factor(Y, taus)
-            # physically reorder the panel's columns (incl. rows above diagonal,
-            # matching the R assembly of BlockedThinSparseQR.h:271-279)
-            working = working.at[:, p0 : p0 + pc].set(working[:, p0 + lperm])
-            house[p0 : p0 + pc] = house[p0 + np.asarray(lperm)]
-            working = working.at[p0 : p0 + h, p0 : p0 + pc].set(jnp.triu(Rsub))
-            if p0 + pc < self._n:
-                working = working.at[p0 : p0 + h, p0 + pc :].set(
-                    apply_wy(Y, T, working[p0 : p0 + h, p0 + pc :], transpose=True)
+        n, c = self._n, self.c
+        house = np.arange(n, dtype=np.int64)
+        nfull = n // c
+        if self.fused and nfull > 0:
+            # all full-width panels in ONE compiled scan; the device never
+            # round-trips per panel (panel extents are honored implicitly by
+            # the zero structure — see _thin_sparse_factorize_scan)
+            workpad = jnp.concatenate([working, jnp.zeros((maxh, n), dt)], axis=0)
+            workpad, Y_stack, T_stack, lperms = _thin_sparse_factorize_scan(
+                workpad, c, maxh, nfull
+            )
+            working = workpad[: self._m]
+            lp = np.asarray(lperms)  # ONE fetch for every panel's pivots
+            for i in range(nfull):
+                house[i * c : (i + 1) * c] = house[i * c + lp[i]]
+            starts = [i * c for i in range(nfull)]
+            if nfull * c < n:  # ragged final panel
+                p0, pc = nfull * c, n - nfull * c
+                working, Yp, Tp = self._eager_panel(
+                    working, p0, heights[-1], pc, maxh, house
                 )
-            Yp = jnp.zeros((maxh, self.c), dt).at[:h, :pc].set(Y)
-            Tp = jnp.zeros((self.c, self.c), dt).at[:pc, :pc].set(T)
-            Ys.append(Yp)
-            Ts.append(Tp)
-            starts.append(p0)
+                Y_stack = jnp.concatenate([Y_stack, Yp[None]], axis=0)
+                T_stack = jnp.concatenate([T_stack, Tp[None]], axis=0)
+                starts.append(p0)
+        else:
+            Ys, Ts, starts = [], [], []
+            for (p0, h) in zip(_panel_starts(n, c), heights):
+                pc = min(c, n - p0)
+                working, Yp, Tp = self._eager_panel(working, p0, h, pc, maxh, house)
+                Ys.append(Yp)
+                Ts.append(Tp)
+                starts.append(p0)
+            Y_stack, T_stack = jnp.stack(Ys), jnp.stack(Ts)
         self.q_seq = CompactWYSeq(
-            jnp.stack(Ys), jnp.stack(Ts), jnp.asarray(starts, dtype=jnp.int32), self._m
+            Y_stack, T_stack, jnp.asarray(starts, dtype=jnp.int32), self._m
         )
         self._R = jnp.triu(working)
         # combined column permutation: density ordering then in-panel pivots

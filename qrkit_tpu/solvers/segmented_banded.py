@@ -168,6 +168,8 @@ class SegmentedBandedQR(QRSolver):
         block_cols: Optional[int] = None,
         block_overlap: Optional[int] = None,
         fallback: bool = True,
+        mesh=None,
+        axis: str = "dp",
     ):
         self._suggested = suggested_block_cols
         self.L = segment_blocks
@@ -176,6 +178,12 @@ class SegmentedBandedQR(QRSolver):
         )
         self._brows, self._bcols, self._boverlap = block_rows, block_cols, block_overlap
         self._fallback = fallback
+        # distribution: shard the segment axis of every per-segment factor
+        # over ``mesh``'s ``axis`` after each compute() — the banded family's
+        # multi-chip story (phase 1 partitions with zero communication; only
+        # the tiny boundary chain is sequential and stays replicated)
+        self.mesh = mesh
+        self.axis = axis
         self._delegate = None
         self._analysis_ok = False
 
@@ -574,9 +582,29 @@ class SegmentedBandedQR(QRSolver):
             jnp.asarray(np.asarray(pmat.data, dtype)),
             self._panel_gmap, self._slab_gmap_t, self._fac_meta,
         )
+        if self.mesh is not None:
+            self._place_on_mesh()
 
         self._set_success()
         return self
+
+    def _place_on_mesh(self):
+        """Shard every per-segment factor over the mesh's segment axis.
+
+        The vmapped interior applies/solves then partition over devices with
+        no cross-shard traffic; the boundary chain factors (``_chain_seq`` /
+        ``_chain_r`` — O(S·o²)) stay replicated, matching the algorithm's
+        communication structure.  No-op when S does not tile the mesh."""
+        if self.S % self.mesh.devices.size != 0:
+            return
+        from ..parallel.mesh import shard_leading_axis
+
+        (self._Yws, self._Ts, self._r_panels,
+         self._Yb, self._Tb, self._j2_top) = shard_leading_axis(
+            (self._Yws, self._Ts, self._r_panels,
+             self._Yb, self._Tb, self._j2_top),
+            self.mesh, self.axis,
+        )
 
     def _get_factorize_fn(self):
         """Per-plan jitted device pipeline: vmapped segment chains → lane-major
@@ -657,9 +685,9 @@ class SegmentedBandedQR(QRSolver):
         return fac
 
     def r_diagonal(self) -> jnp.ndarray:
+        """diag(R) in P_split column order: interior panels then the boundary R2."""
         if self._delegate is not None:
             return self._delegate.r_diagonal()
-        """diag(R) in P_split column order: interior panels then the boundary R2."""
         d = jnp.diagonal(self._r_panels, axis1=2, axis2=3)  # [S, L, k]
         k = d.shape[2]
         j = jnp.arange(k)
@@ -815,10 +843,25 @@ class SegmentedBandedQR(QRSolver):
         out = self._apply_left_q(full)
         return out[:, 0] if vec else out
 
+    def _ensure_col_gather(self):
+        """Lazy per-plan column maps: padded per-segment column slot -> global
+        column (used by the interior back-substitution and the fused solve)."""
+        if hasattr(self, "_col_gather"):
+            return
+        nloc_max, mc = self._nloc_max, self._max_cols
+        cg = np.zeros((self.S, nloc_max + mc), dtype=np.int64)
+        cv = np.zeros((self.S, nloc_max + mc), dtype=bool)
+        for s in range(self.S):
+            n = self._seg_ncols[s]
+            cg[s, :n] = self._seg_col0[s] + np.arange(n)
+            cv[s, :n] = True
+        self._col_gather = jnp.asarray(cg)
+        self._col_valid = jnp.asarray(cv)
+
     def solve_r(self, y: jnp.ndarray) -> jnp.ndarray:
+        """Two-phase back-substitution: boundary chain, then vmapped interior."""
         if self._delegate is not None:
             return self._delegate.solve_r(y)
-        """Two-phase back-substitution: boundary chain, then vmapped interior."""
         m1, m2 = self._m1, self._m2
         o = self._overlap
         from .banded_blocked import banded_solve_r
@@ -845,15 +888,7 @@ class SegmentedBandedQR(QRSolver):
         nloc_max = self._nloc_max
         dt = x2.dtype
         mc = self._max_cols
-        if not hasattr(self, "_col_gather"):
-            cg = np.zeros((S, nloc_max + mc), dtype=np.int64)
-            cv = np.zeros((S, nloc_max + mc), dtype=bool)
-            for s in range(S):
-                n = self._seg_ncols[s]
-                cg[s, :n] = self._seg_col0[s] + np.arange(n)
-                cv[s, :n] = True
-            self._col_gather = jnp.asarray(cg)
-            self._col_valid = jnp.asarray(cv)
+        self._ensure_col_gather()
         idx_top = jnp.where(
             self._col_valid[:, :nloc_max], self._col_gather[:, :nloc_max], m1
         )
@@ -901,17 +936,7 @@ class SegmentedBandedQR(QRSolver):
         from .banded_blocked import banded_solve_r
 
         self._gather_maps()
-        if not hasattr(self, "_col_gather"):
-            # force the lazy per-plan solve maps (shared with solve_r)
-            nloc_max, mc = self._nloc_max, self._max_cols
-            cg = np.zeros((self.S, nloc_max + mc), dtype=np.int64)
-            cv = np.zeros((self.S, nloc_max + mc), dtype=bool)
-            for s in range(self.S):
-                n = self._seg_ncols[s]
-                cg[s, :n] = self._seg_col0[s] + np.arange(n)
-                cv[s, :n] = True
-            self._col_gather = jnp.asarray(cg)
-            self._col_valid = jnp.asarray(cv)
+        self._ensure_col_gather()  # lazy per-plan solve maps (shared with solve_r)
 
         m1, m2, o = self._m1, self._m2, self._overlap
         S, mc, nloc_max = self.S, self._max_cols, self._nloc_max
@@ -1004,9 +1029,9 @@ class SegmentedBandedQR(QRSolver):
         return sol
 
     def matrix_r_dense(self) -> jnp.ndarray:
+        """Dense R in the P_split column order (tests)."""
         if self._delegate is not None:
             return self._delegate.matrix_r_dense()
-        """Dense R in the P_split column order (tests)."""
         n = self.cols
         m1, m2, o = self._m1, self._m2, self._overlap
         rp = np.asarray(self._r_panels)

@@ -18,7 +18,11 @@ from qrkit_tpu.solvers import (
 )
 from qrkit_tpu.sparse import SparseCSR
 
-from generators import block_angular_matrix, block_diagonal_matrix
+from generators import (
+    block_angular_matrix,
+    block_diagonal_matrix,
+    overlapping_block_diagonal_matrix,
+)
 
 NUM_VARS = 64
 NUM_PARAMS = NUM_VARS * 2
@@ -185,3 +189,64 @@ def test_block_angular_matrix_rhs(spj, rng):
     out_t = np.asarray(qr.apply_qt(M))
     back = np.asarray(qr.apply_q(jnp.asarray(out_t)))
     assert np.allclose(back, np.asarray(M), atol=1e-8)
+
+
+def test_banded_left_sparse_a2_keeps_sparse(rng):
+    """Banded left solver x sparse A2: the chunked keep-sparse solveRightBlock
+    (the reference's sparse QProduct role, BandedBlockedSparseQR.h:693/722)
+    must engage — no dense [n1, m2] A2 copy — and solve correctly."""
+    left_sp = overlapping_block_diagonal_matrix(64, 224, rng, permute_rows=True)
+    n1 = left_sp.nrows
+    m2 = 6
+    # sparse A2: each row touches at most 2 of the m2 columns
+    a2_rows, a2_cols, a2_vals = [], [], []
+    for i in range(n1):
+        for j in rng.choice(m2, size=2, replace=False):
+            a2_rows.append(i)
+            a2_cols.append(int(j))
+            a2_vals.append(rng.normal())
+    a2 = SparseCSR.from_triplets(a2_rows, a2_cols, a2_vals, (n1, m2))
+
+    qr = BlockAngularQR(BandedBlockedQR(suggested_block_cols=2), DenseColPivQR())
+    qr.compute(BlockMatrix1x2(left_sp, a2))
+    assert qr._r12_coo is not None, "chunked sparse-A2 path must engage"
+
+    dense = np.concatenate([left_sp.to_dense(), a2.to_dense()], axis=1)
+    x_true = rng.normal(size=dense.shape[1])
+    b = qr.rows_permutation().apply(dense @ x_true)
+    x = np.asarray(qr.solve(jnp.asarray(b)))
+    assert np.allclose(x, x_true, atol=1e-7), np.abs(x - x_true).max()
+
+    # repeated compute on the same pattern (the LM shape) reuses the plans
+    assert "rowsubset" in qr.right._plan_cache
+    a2b = SparseCSR(a2.shape, a2.indptr, a2.indices, a2.data * 1.5)
+    qr.compute(BlockMatrix1x2(left_sp, a2b))
+    b2 = qr.rows_permutation().apply(
+        np.concatenate([left_sp.to_dense(), a2b.to_dense()], axis=1) @ x_true
+    )
+    x2 = np.asarray(qr.solve(jnp.asarray(b2)))
+    assert np.allclose(x2, x_true, atol=1e-7)
+
+
+def test_blockdiag_sparse_a2_plan_cache_reuse(rng):
+    """Same-pattern recompute of the block-diagonal sparse-A2 path must reuse
+    the cached pattern bookkeeping (and stay correct when values change)."""
+    blocks = rng.uniform(0.5, 5.0, size=(16, 7, 2))
+    blk = BlockDiagonal.from_dense_batch(jnp.asarray(blocks))
+    n1 = blk.nrows
+    m2 = 4
+    rows = np.arange(n1)
+    cols = rng.integers(0, m2, size=n1)
+    vals = rng.normal(size=n1)
+    a2 = SparseCSR.from_triplets(rows, cols, vals, (n1, m2))
+    qr = BlockAngularQR(BlockDiagonalQR(pivot=False), DenseColPivQR())
+    qr.compute(BlockMatrix1x2(blk, a2))
+    plan1 = qr._plan_cache.get("blockdiag_a2")
+    assert plan1 is not None
+    a2b = SparseCSR(a2.shape, a2.indptr, a2.indices, vals * 2.0)
+    qr.compute(BlockMatrix1x2(blk, a2b))
+    assert qr._plan_cache.get("blockdiag_a2") is plan1, "plan must be reused"
+    dense = np.concatenate([blk.to_dense(), a2b.to_dense()], axis=1)
+    x_true = rng.normal(size=dense.shape[1])
+    x = np.asarray(qr.solve(jnp.asarray(dense @ x_true)))
+    assert np.allclose(x, x_true, atol=1e-8)

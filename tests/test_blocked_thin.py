@@ -98,3 +98,32 @@ def test_thin_dense_wide_input(rng):
     Q = np.asarray(qr.matrix_q_dense())
     assert np.allclose(Q.T @ Q, np.eye(m), atol=1e-10)
     assert np.allclose(Q @ np.asarray(qr.matrix_r_dense()), A, atol=1e-9)
+
+
+@pytest.mark.parametrize("m,n,c", [(80, 10, 2), (80, 11, 3), (120, 17, 4)])
+def test_thin_sparse_fused_scan_matches_eager(rng, m, n, c):
+    """The one-dispatch lax.scan factorization must produce the same factors
+    as the eager per-panel loop (incl. ragged final panels and the composed
+    pivot permutation)."""
+    mat = _sparse_tall(rng, m=m, n=n)
+    qr_f = BlockedThinSparseQR(suggested_block_cols=c, fused=True).compute(mat)
+    qr_e = BlockedThinSparseQR(suggested_block_cols=c, fused=False).compute(mat)
+    assert np.array_equal(
+        qr_f.cols_permutation().indices, qr_e.cols_permutation().indices
+    )
+    assert np.allclose(
+        np.asarray(qr_f.matrix_r_dense()), np.asarray(qr_e.matrix_r_dense()),
+        atol=1e-12,
+    )
+    assert np.allclose(
+        np.asarray(qr_f.q_seq.Y), np.asarray(qr_e.q_seq.Y), atol=1e-12
+    )
+    assert np.allclose(
+        np.asarray(qr_f.q_seq.T), np.asarray(qr_e.q_seq.T), atol=1e-12
+    )
+    # end-to-end LS round trip on the fused path
+    dense = mat.to_dense()
+    x_true = rng.normal(size=n)
+    b = qr_f.rows_permutation().apply(dense @ x_true)
+    x = np.asarray(qr_f.solve(jnp.asarray(b)))
+    assert np.allclose(x, x_true, atol=1e-8)

@@ -48,15 +48,13 @@ def test_tsqr_on_mesh(rng):
 
 
 def test_sharded_block_diagonal(rng):
+    """Public distribution API: mesh= on the solver, no private attributes."""
     mesh = default_mesh()
     ndev = mesh.devices.size
     nb = ndev * 8
     blocks = rng.normal(size=(nb, 7, 2))
     blk = BlockDiagonal.from_dense_batch(jnp.asarray(blocks))
-    blk_sharded = BlockDiagonal(
-        shard_leading_axis(blk.blocks, mesh), blk.nrows, blk.ncols
-    )
-    qr = BlockDiagonalQR(QFormat.FULL_Q).compute(blk_sharded)
+    qr = BlockDiagonalQR(QFormat.FULL_Q, mesh=mesh).compute(blk)
     qr_ref = BlockDiagonalQR(QFormat.FULL_Q).compute(blk)
     assert np.allclose(np.asarray(qr.R), np.asarray(qr_ref.R), atol=1e-12)
     # factor outputs keep the sharding on the block axis
@@ -80,13 +78,11 @@ def test_sharded_block_angular_end_to_end(rng):
 
     dense = np.concatenate([blk.to_dense(), right], axis=1)
 
-    blk_sharded = BlockDiagonal(
-        shard_leading_axis(blk.blocks, mesh), blk.nrows, blk.ncols
-    )
     qr = BlockAngularQR(
-        BlockDiagonalQR(QFormat.FULL_Q, pivot=False),
+        BlockDiagonalQR(QFormat.FULL_Q, pivot=False, mesh=mesh),
         TSQRDenseQR(n_shards=ndev, mesh=mesh),
-    ).compute(BlockMatrix1x2(blk_sharded, jnp.asarray(right)))
+        mesh=mesh,
+    ).compute(BlockMatrix1x2(blk, jnp.asarray(right)))
 
     x_true = rng.normal(size=dense.shape[1])
     b = dense @ x_true
