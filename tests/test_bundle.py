@@ -79,3 +79,23 @@ def test_bundle_device_matches_host_loop():
     n_obs = 2 * 24 * 3
     rms = float(np.sqrt(2.0 * res.cost / n_obs))
     assert rms < 5e-3  # down at the noise level
+
+
+def test_bundle_device_sharded_matches(rng):
+    """Point-axis sharded fit_bundle_device (mesh=) must reach the same
+    optimum as the single-device run — the sharded TSQR changes reduction
+    order, not math."""
+    from qrkit_tpu.examples.bundle import fit_bundle_device
+    from qrkit_tpu.parallel import default_mesh
+
+    mesh = default_mesh()
+    n_pts = int(mesh.devices.size) * 4
+    cams, pts, uv = make_scene(n_cams=2, n_pts=n_pts, noise=0.0, seed=9)
+    prng = np.random.default_rng(13)
+    cams0 = cams + 0.02 * prng.normal(size=cams.shape)
+    pts0 = pts + 0.05 * prng.normal(size=pts.shape)
+    cfg = LMConfig(max_iters=40)
+    r_ref = fit_bundle_device(cams0, pts0, uv, cfg)
+    r_sh = fit_bundle_device(cams0, pts0, uv, cfg, mesh=mesh)
+    assert r_sh.cost < 1e-14, r_sh.cost
+    assert np.allclose(r_sh.x, r_ref.x, atol=1e-6), np.abs(r_sh.x - r_ref.x).max()

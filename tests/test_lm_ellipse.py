@@ -61,3 +61,24 @@ def test_banded_left_variant_matches():
     d1 = np.asarray(functor.damped_step(x0, r0, 1e-3))
     d2 = np.asarray(functor.damped_step_banded(x0, r0, 1e-3))
     assert np.allclose(d1, d2, atol=1e-8), np.abs(d1 - d2).max()
+
+
+def test_ellipse_fit_batch_matches_solo(rng):
+    """vmapped whole-minimize: every lane of a batched fit must equal the solo
+    device fit (finished lanes hold their state while others iterate)."""
+    from qrkit_tpu.examples.ellipse import fit_ellipse_batch
+
+    els = [
+        Ellipse(7.5, 2.0, 17.0, 23.0, 0.23),
+        Ellipse(5.0, 3.0, -2.0, 4.0, 0.7),
+        Ellipse(4.0, 1.5, 0.0, 0.0, 1.1),
+    ]
+    n = 64
+    pts_batch = np.stack([ellipse_points(el, n) for el in els])
+    cfg = LMConfig(max_iters=40)
+    batched = fit_ellipse_batch(pts_batch, cfg)
+    assert batched.x.shape == (3, n + 5)
+    for i, el in enumerate(els):
+        solo, _ = fit_ellipse(pts_batch[i], cfg, loop="device")
+        assert np.allclose(batched.x[i], np.asarray(solo.x), atol=1e-9), i
+        assert float(batched.cost[i]) < 1e-10
