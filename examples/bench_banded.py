@@ -90,13 +90,27 @@ def bench(qr, mat, b, reps):
 
 
 def main():
-    nb = int(sys.argv[1]) if len(sys.argv) > 1 else 1666
-    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    global BR, BC, OV, STEP
+    args = sys.argv[1:]
+    if args and args[0] == "config3":
+        # BASELINE.json config 3, literal shape: ~100k x 10k banded matrix,
+        # row bandwidth 8 (40x8 blocks overlapping 4 -> 99,960 x 10,000)
+        BR, BC, OV = 40, 8, 4
+        STEP = BC - OV
+        nb = 2499
+        reps = int(args[1]) if len(args) > 1 else 5
+    else:
+        nb = int(args[0]) if args else 1666
+        reps = int(args[1]) if len(args) > 1 else 5
     rng = np.random.default_rng(0)
     mat = banded_matrix(nb, rng)
     x_true = rng.normal(size=mat.ncols)
-    # avoid a dense [m, n] product at huge sizes
-    b = jnp.asarray(mat.to_dense() @ x_true if nb <= 4000 else np.zeros(mat.nrows))
+    # avoid a dense [m, n] product at huge sizes — but keep the RHS random so
+    # the solve timing never runs on a degenerate all-zero vector
+    small = mat.nrows * mat.ncols <= 50_000_000
+    b = jnp.asarray(
+        mat.to_dense() @ x_true if small else rng.normal(size=mat.nrows)
+    )
     print(f"# matrix {mat.nrows}x{mat.ncols}, nnz={mat.data.size}", file=sys.stderr)
 
     for name, qr in [
@@ -105,7 +119,7 @@ def main():
     ]:
         fac, sol, x = bench(qr, mat, b, reps)
         resid = None
-        if nb <= 4000:
+        if small:
             xh = np.asarray(x, dtype=np.float64)
             resid = float(np.linalg.norm(xh - x_true) / np.linalg.norm(x_true))
         print(json.dumps({

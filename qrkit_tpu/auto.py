@@ -243,6 +243,7 @@ def auto_qr(
             else (BlockDiagonalQR(), "block_diagonal")
         )
         qr = BlockAngularQR(left_solver, DenseColPivQR()).compute(mat)
+        tag = _effective_tag(left_solver, tag)
         qr.selection = f"block_angular({tag}, dense_colpiv)"
         return qr
     if not isinstance(mat, SparseCSR):
@@ -272,11 +273,21 @@ def auto_qr(
         inner = BlockAngularQR(left_solver, DenseColPivQR()).compute(
             BlockMatrix1x2(left, right)
         )
+        tag = _effective_tag(left_solver, tag)
         return ColumnSplitQR(
             inner, split, f"block_angular({tag}, dense_colpiv)"
         )
 
     solver, tag = _csr_solver(mat, suggested_block_cols, prefer_segmented)
     qr = solver.compute(mat)
-    qr.selection = tag
+    qr.selection = _effective_tag(solver, tag)
     return qr
+
+
+def _effective_tag(solver, tag: str) -> str:
+    """Report the stack that actually ran: SegmentedBandedQR self-delegates to
+    its plain BandedBlockedQR on short/non-segmentable plans, and ``selection``
+    must describe the effective solver, not the wrapper."""
+    if tag == "segmented_banded" and getattr(solver, "_delegate", None) is not None:
+        return "banded_blocked"
+    return tag

@@ -15,6 +15,7 @@ SparseQROrdering.h).  Conventions follow Eigen:
 from __future__ import annotations
 
 import dataclasses
+import hashlib
 from typing import Tuple
 
 import numpy as np
@@ -277,20 +278,19 @@ class SparseCSR:
         return gm
 
     def pattern_fingerprint(self):
-        """Cheap position-weighted checksum of the stored-nonzero LAYOUT.
+        """Exact digest of the stored-nonzero LAYOUT.
 
         Two matrices with the same block structure can differ in stored
         layout (an entry pruned to exact zero and dropped by from_triplets,
         say) — anything keyed on data POSITIONS (the device gather maps) must
-        be rebuilt then, not just when the analyzed plan changes.  O(nnz)
-        vectorized; wraps mod 2^64."""
-        idx = self.indices.astype(np.uint64, copy=False)
-        w = np.arange(1, idx.size + 1, dtype=np.uint64)
-        return (
-            self.nnz,
-            int((idx * w).sum(dtype=np.uint64)),
-            int(self.indptr.astype(np.uint64, copy=False).sum(dtype=np.uint64)),
-        )
+        be rebuilt then, not just when the analyzed plan changes.  A
+        cryptographic digest of the raw index bytes (not an additive
+        checksum, which compensating entry moves could collide) makes a
+        stale-map reuse effectively impossible; still O(nnz), ~GB/s."""
+        h = hashlib.blake2b(digest_size=16)
+        h.update(np.ascontiguousarray(self.indices).tobytes())
+        h.update(np.ascontiguousarray(self.indptr).tobytes())
+        return (self.nnz, h.digest())
 
     def hstack_dense_block(self, c0: int, nc: int) -> np.ndarray:
         return self.block_dense(0, c0, self.nrows, nc)
