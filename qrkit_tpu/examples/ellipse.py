@@ -255,16 +255,22 @@ class EllipseFitting:
 
     def initial_params(self) -> jnp.ndarray:
         """ellipse_fitting.cpp:208-232: bounding-box init + uniform t spread."""
-        pts = self._pts_np
-        n = self.n
-        params = np.zeros(n + 5)
-        params[:n] = np.arange(n) * (1.3 * np.pi / n)
-        params[n] = 0.5 * (pts[0].max() - pts[0].min())
-        params[n + 1] = 0.5 * (pts[1].max() - pts[1].min())
-        params[n + 2] = 0.5 * (pts[0].max() + pts[0].min())
-        params[n + 3] = 0.5 * (pts[1].max() + pts[1].min())
-        params[n + 4] = 0.0
-        return jnp.asarray(params, dtype=self.dtype)
+        return jnp.asarray(initial_params_np(self._pts_np), dtype=self.dtype)
+
+
+def initial_params_np(pts: np.ndarray) -> np.ndarray:
+    """Host-only initial guess (ellipse_fitting.cpp:208-232): bounding-box
+    init + uniform t spread.  Pure NumPy so batch drivers can build B initial
+    vectors without B device round trips."""
+    pts = np.asarray(pts)
+    n = pts.shape[1]
+    params = np.zeros(n + 5)
+    params[:n] = np.arange(n) * (1.3 * np.pi / n)
+    params[n] = 0.5 * (pts[0].max() - pts[0].min())
+    params[n + 1] = 0.5 * (pts[1].max() - pts[1].min())
+    params[n + 2] = 0.5 * (pts[0].max() + pts[0].min())
+    params[n + 3] = 0.5 * (pts[1].max() + pts[1].min())
+    return params
 
 
 def canonicalize_ellipse(params: np.ndarray, n: int) -> np.ndarray:
@@ -327,12 +333,7 @@ def fit_ellipse_batch(
     ([B, n] solutions, [B] costs/iterations/convergence flags).
     """
     pts_batch = np.asarray(pts_batch)
-    x0 = np.stack(
-        [
-            np.asarray(EllipseFitting(p, dtype=dtype).initial_params())
-            for p in pts_batch
-        ]
-    )
+    x0 = np.stack([initial_params_np(p) for p in pts_batch])
     cfg = config or LMConfig(max_iters=60)
     return levenberg_marquardt_device_batch(
         _residuals_aux,

@@ -46,3 +46,47 @@ def test_pallas_nonmultiple_tile(rng):
         pallas_block_diagonal_lstsq(jnp.asarray(blocks), jnp.asarray(b), interpret=True)
     )
     assert np.allclose(xp, x_true, atol=5e-4)
+
+
+def test_pallas_soa_entry_points(rng):
+    """SoA-native entry points (the LM-resident layout): results must match
+    the AoS wrapper bit-for-bit after relayout."""
+    from qrkit_tpu.ops.pallas_blockdiag import (
+        pallas_block_diagonal_lstsq_soa,
+        pallas_block_diagonal_qr_r_soa,
+        soa_pad,
+    )
+
+    nb, br, bc = 300, 5, 3
+    npad = soa_pad(nb)
+    blocks = rng.uniform(0.5, 5.0, size=(nb, br, bc)).astype(np.float32)
+    x_true = rng.normal(size=(nb, bc)).astype(np.float32)
+    b = np.einsum("bij,bj->bi", blocks, x_true)
+    a_soa = np.zeros((br * bc, npad), np.float32)
+    a_soa[:, :nb] = blocks.transpose(1, 2, 0).reshape(br * bc, nb)
+    for j in range(bc):
+        a_soa[j * bc + j, nb:] = 1.0
+    b_soa = np.zeros((br, npad), np.float32)
+    b_soa[:, :nb] = b.T
+    x_soa = np.asarray(
+        pallas_block_diagonal_lstsq_soa(
+            jnp.asarray(a_soa), jnp.asarray(b_soa), interpret=True
+        )
+    )
+    assert x_soa.shape == (bc, npad)
+    assert np.allclose(x_soa[:, :nb].T, x_true, atol=5e-4)
+    assert np.allclose(x_soa[:, nb:], 0.0)  # identity pad blocks, zero rhs
+
+    r_soa = np.asarray(
+        pallas_block_diagonal_qr_r_soa(jnp.asarray(a_soa), br, interpret=True)
+    )
+    xa = np.asarray(
+        pallas_block_diagonal_lstsq(
+            jnp.asarray(blocks), jnp.asarray(b.reshape(-1)), interpret=True
+        )
+    )
+    assert np.array_equal(xa.reshape(nb, bc), x_soa[:, :nb].T)
+    rref = np.stack([np.linalg.qr(blocks[i], mode="r") for i in range(nb)])
+    tri = [(j, c) for j in range(bc) for c in range(j, bc)]
+    packed = np.stack([rref[:, j, c] for (j, c) in tri], axis=0)
+    assert np.allclose(np.abs(r_soa[:, :nb]), np.abs(packed), atol=5e-4)
