@@ -196,11 +196,16 @@ def _csr_solver(
             solver = BlockDiagonalCSRQR(suggested_block_cols)
             solver.set_analysis(plan, perm)
             return solver, "block_diagonal"
-        if (
-            prefer_segmented is False
-            and plan.num_blocks < 2 * SegmentedBandedQR.DEFAULT_SEGMENT_BLOCKS
+        if prefer_segmented is False and (
+            plan.num_blocks < 2 * SegmentedBandedQR.DEFAULT_SEGMENT_BLOCKS
+            # tall blocks carry enough arithmetic per sequential scan step
+            # that hiding step latency no longer pays for the segmented
+            # composition's boundary machinery (measured: a 2499-chain of
+            # 40x8 blocks factorizes 2.7x FASTER on the plain scan, while
+            # 21x10 chains favor the segmented form — bench_banded.py
+            # config3 vs default)
+            or int(nrows_.max()) > 3 * int(ncols_.max())
         ):
-            # short chains: the segmented form would delegate anyway
             solver = BandedBlockedQR(suggested_block_cols=suggested_block_cols)
             solver.set_analysis(plan, perm)
             return solver, "banded_blocked"

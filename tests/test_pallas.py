@@ -90,3 +90,24 @@ def test_pallas_soa_entry_points(rng):
     tri = [(j, c) for j in range(bc) for c in range(j, bc)]
     packed = np.stack([rref[:, j, c] for (j, c) in tri], axis=0)
     assert np.allclose(np.abs(r_soa[:, :nb]), np.abs(packed), atol=5e-4)
+
+
+def test_pallas_soa_big_grid_step(rng):
+    """Batch axes that tile the 4096 grid step take the 32-sublane path;
+    results must match the reference solution exactly like the small path."""
+    from qrkit_tpu.ops.pallas_blockdiag import (
+        _sub_for,
+        pallas_block_diagonal_lstsq_soa,
+    )
+
+    nb, br, bc = 4096, 7, 2
+    assert _sub_for(nb) == 32
+    blocks = rng.uniform(0.5, 5.0, size=(nb, br, bc)).astype(np.float32)
+    x_true = rng.normal(size=(nb, bc)).astype(np.float32)
+    b = np.einsum("bij,bj->bi", blocks, x_true)
+    a_soa = jnp.asarray(blocks.transpose(1, 2, 0).reshape(br * bc, nb))
+    b_soa = jnp.asarray(np.ascontiguousarray(b.T))
+    x_soa = np.asarray(
+        pallas_block_diagonal_lstsq_soa(a_soa, b_soa, interpret=True)
+    )
+    assert np.allclose(x_soa.T, x_true, atol=5e-4)
