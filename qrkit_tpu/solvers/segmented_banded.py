@@ -170,6 +170,7 @@ class SegmentedBandedQR(QRSolver):
         fallback: bool = True,
         mesh=None,
         axis: str = "dp",
+        use_pallas="auto",
     ):
         self._suggested = suggested_block_cols
         self.L = segment_blocks
@@ -178,6 +179,13 @@ class SegmentedBandedQR(QRSolver):
         )
         self._brows, self._bcols, self._boverlap = block_rows, block_cols, block_overlap
         self._fallback = fallback
+        # phase-1 kernel tier: "auto" uses the fused Pallas segment-chain
+        # kernel (ops/pallas_banded.py) on TPU/fp32 uniform chains; True
+        # forces it (raises if the plan geometry is unsupported); False keeps
+        # the XLA scan.  ``_pallas_interpret`` (tests) runs the kernel in
+        # interpreter mode so the path is exercised on the CPU mesh.
+        self.use_pallas = use_pallas
+        self._pallas_interpret = False
         # distribution: shard the segment axis of every per-segment factor
         # over ``mesh``'s ``axis`` after each compute() — the banded family's
         # multi-chip story (phase 1 partitions with zero communication; only
@@ -513,6 +521,72 @@ class SegmentedBandedQR(QRSolver):
         self._rbot_gather = jnp.asarray(rg)
         self._rbot_valid = jnp.asarray(rg < self._nbot)
         self._rest_pos = jnp.asarray(rp)
+        self._prepare_pallas_gate()
+
+    def _prepare_pallas_gate(self):
+        """Decide whether the fused Pallas segment-chain kernel can run phase 1
+        for this plan (ops/pallas_banded.py) and precompute its static
+        geometry.  Requirements beyond the solver's own uniformity checks:
+        a single carry depth after step 0 (so the panel shift is static per
+        step), one body column increment with at most a distinct first-step
+        increment on segments 1.. (the dropped leading overlap), and panel
+        tiles small enough for VMEM / a bounded unrolled kernel."""
+        S, L = self.S, self.L
+        lg, act = self._loc_geom, self._active
+        kw = self._kw
+        ma, mc = kw["max_active"], kw["max_cols"]
+        mca, me = kw["max_carry"], kw["max_emit"]
+        ns = act.sum(axis=1)
+        cr, ci_a = lg["carry_rows"], lg["col_inc"]
+        ok = mc <= 16 and ma * mc <= 512
+        # double-buffered in/out tiles + carry scratch, one (8,128) fp32 tile
+        # per panel entry
+        vmem = (2 * (2 * ma * mc + mc + me * mc) + mca * mc) * 8 * 128 * 4
+        ok = ok and vmem < 12 * 2**20
+        # the per-step panel shift (carry_rows[s, l], including the shallower
+        # final-block carry) is applied on-device by the same _shift_panels
+        # gather the XLA path uses, so only the carry *extraction* increment
+        # must be static: one body value, with at most a distinct first-step
+        # value on segments 1.. (their dropped leading overlap).  The final
+        # step's increment is never consumed (the carry resets at l == 0).
+        ci_body = int(ci_a[0, 0]) if ns[0] >= 2 else 0
+        ci0_rest = int(ci_a[1, 0]) if S > 1 and ns[1] >= 2 else ci_body
+        for s in range(S):
+            n = int(ns[s])
+            if n >= 2:
+                first = ci_body if s == 0 else ci0_rest
+                ok = ok and int(ci_a[s, 0]) == first
+                ok = ok and bool((ci_a[s, 1 : n - 1] == ci_body).all())
+        ok = ok and 0 <= ci_body <= mc and 0 <= ci0_rest <= mc
+        self._pallas_gate = bool(ok)
+        self._pallas_ci = (ci_body, ci0_rest)
+        if ok:
+            from ..ops.pallas_banded import seg_pad
+
+            npad = seg_pad(S)
+            self._pallas_npad = npad
+            act_soa = np.zeros((L, 1, npad), np.float32)
+            act_soa[:, 0, :S] = act.T
+            self._act_soa = jnp.asarray(act_soa)
+
+    def _pallas_active(self) -> bool:
+        if self.use_pallas is False:
+            return False
+        if self.use_pallas is True:
+            if not self._pallas_gate:
+                raise ValueError(
+                    "use_pallas=True but the plan geometry is not supported "
+                    "by the Pallas segment-chain kernel (non-uniform carry/"
+                    "column step or panel too large); use use_pallas='auto'"
+                )
+            return True
+        if not self._pallas_gate:
+            return False
+        if self._pallas_interpret:
+            return True
+        return (
+            jax.default_backend() == "tpu" and not jax.config.jax_enable_x64
+        )
 
     def compute(self, mat: SparseCSR, force_pattern_analysis: bool = False):
         if not self._analysis_ok or force_pattern_analysis:
@@ -537,14 +611,14 @@ class SegmentedBandedQR(QRSolver):
         # vector with a single device gather — per factorize, ONLY that
         # contiguous vector crosses the host->device tunnel
         o = self._overlap
+        pallas_on = self._pallas_active()
         fp = pmat.pattern_fingerprint()
         if self._slab_gmap is None or fp != getattr(self, "_gmap_fp", None):
             # keyed on the stored-nonzero LAYOUT, not just the plan — see
             # BandedBlockedQR.compute
             self._gmap_fp = fp
-            self._panel_gmap = jnp.asarray(
-                pmat.panels_gather_map(self._block_list, mR, max_cols)
-            )
+            gm = pmat.panels_gather_map(self._block_list, mR, max_cols)
+            self._panel_gmap = jnp.asarray(gm)
             col_pos = np.full(self._ncols, -1, dtype=np.int64)
             col_pos[self._bcols_idx] = np.arange(self._m2)
             row_ids = np.repeat(np.arange(self._nrows), np.diff(pmat.indptr))
@@ -576,7 +650,7 @@ class SegmentedBandedQR(QRSolver):
         # round trips through the accelerator tunnel per factorize; the whole
         # pipeline is fused into one per-plan compiled program instead
         dtype = np.float32 if not jax.config.jax_enable_x64 else np.float64
-        fac = self._get_factorize_fn()
+        fac = self._get_factorize_fn(pallas_on)
         (self._Yws, self._Ts, self._r_panels, self._j2_top,
          self._Yb, self._Tb, self._chain_seq, self._chain_r) = fac(
             jnp.asarray(np.asarray(pmat.data, dtype)),
@@ -606,13 +680,16 @@ class SegmentedBandedQR(QRSolver):
             self.mesh, self.axis,
         )
 
-    def _get_factorize_fn(self):
-        """Per-plan jitted device pipeline: vmapped segment chains → lane-major
-        slab Qᵀ → CAQR-compressed boundary chain.  Plan metadata
-        (device-resident index/geometry arrays) is closed over — constant
-        across the repeated factorizations of one structure (the LM pattern),
-        so this compiles once per plan."""
-        if getattr(self, "_fac_fn", None) is not None:
+    def _get_factorize_fn(self, pallas_on: bool = False):
+        """Per-plan jitted device pipeline: segment chains (fused Pallas
+        kernel or vmapped XLA scan) → lane-major slab Qᵀ → CAQR-compressed
+        boundary chain.  Plan metadata (device-resident index/geometry
+        arrays) is constant across the repeated factorizations of one
+        structure (the LM pattern), so this compiles once per plan."""
+        if (
+            getattr(self, "_fac_fn", None) is not None
+            and getattr(self, "_fac_mode", None) == pallas_on
+        ):
             return self._fac_fn
         from .banded_blocked import _shift_panels, banded_factorize
 
@@ -635,21 +712,66 @@ class SegmentedBandedQR(QRSolver):
             top_valid=self._top_valid, bot_idx=self._bot_idx,
             bot_valid=self._bot_valid, chain_geom=self._chain_geom_dev,
         )
+        if pallas_on:
+            self._fac_meta["act_soa"] = self._act_soa
 
-        @jax.jit
-        def fac(data, panel_gmap, slab_gmap_t, meta):
-            dtype = data.dtype
-            pad = jnp.concatenate([data, jnp.zeros((1,), dtype)])
-            pj = pad[panel_gmap]  # [S*L, mR, max_cols]
-            slab_t = pad[slab_gmap_t]  # [S, 2o, seg_rows(pad)] lane-major
+        def _phase1_xla(pad, meta):
+            pj = pad[meta["panel_gmap"]]  # [S*L, mR, max_cols]
             shifted = _shift_panels(
                 pj, meta["carry_d"], meta["nrows_d"], kw["max_active"]
             ).reshape(S, L, kw["max_active"], max_cols)
-            C0 = jnp.zeros((S, kw["max_carry"], max_cols), dtype)
+            C0 = jnp.zeros((S, kw["max_carry"], max_cols), pad.dtype)
             _, (Yws, Ts, Vs) = _vmapped_chain(
                 C0, shifted, meta["colinc_d"], meta["active_d"],
                 max_carry=kw["max_carry"], max_emit=kw["max_emit"],
             )
+            return Yws, Ts, Vs
+
+        if pallas_on:
+            from ..ops.householder import build_t_factor
+            from ..ops.pallas_banded import pallas_segment_chains_soa
+
+            ci_body, ci0_rest = self._pallas_ci
+            ma, mca, me = kw["max_active"], kw["max_carry"], kw["max_emit"]
+            interp = self._pallas_interpret
+            npad = self._pallas_npad
+
+            def _phase1(pad, meta):
+                pj = pad[meta["panel_gmap"]]  # [S*L, mR, max_cols]
+                shifted = _shift_panels(
+                    pj, meta["carry_d"], meta["nrows_d"], ma
+                ).reshape(S, L, ma * max_cols)
+                # SoA relayout as ONE dense transpose on device — a
+                # [L, ma*mc, npad] element gather map was measured at 72 ms
+                # for a 625k-lane case where the panel bytes themselves are
+                # ~7 ms of HBM traffic
+                soa = jnp.moveaxis(shifted, 0, -1)  # [L, ma*mc, S]
+                soa = jnp.pad(soa, ((0, 0), (0, 0), (0, npad - S)))
+                y_soa, tau_soa, v_soa = pallas_segment_chains_soa(
+                    soa, meta["act_soa"], ma=ma, mc=max_cols, mca=mca,
+                    me=me, ci=ci_body, ci0_rest=ci0_rest, interpret=interp,
+                )
+                Yws = jnp.moveaxis(y_soa[:, :, :S], -1, 0).reshape(
+                    S, L, ma, max_cols
+                )
+                taus = jnp.moveaxis(tau_soa[:, :, :S], -1, 0)  # [S, L, mc]
+                Vs = jnp.moveaxis(v_soa[:, :, :S], -1, 0).reshape(
+                    S, L, me, max_cols
+                )
+                Ts = jax.vmap(jax.vmap(build_t_factor))(Yws, taus)
+                return Yws, Ts, Vs
+
+        else:
+            _phase1 = _phase1_xla
+
+        @jax.jit
+        def fac(data, gmap, slab_gmap_t, meta):
+            dtype = data.dtype
+            pad = jnp.concatenate([data, jnp.zeros((1,), dtype)])
+            meta = dict(meta)
+            meta["panel_gmap"] = gmap
+            slab_t = pad[slab_gmap_t]  # [S, 2o, seg_rows(pad)] lane-major
+            Yws, Ts, Vs = _phase1(pad, meta)
             j2slab = jnp.swapaxes(
                 _segment_apply_cols(
                     Yws, Ts, meta["starts"], meta["rows2d"], meta["carry2d"],
@@ -682,6 +804,7 @@ class SegmentedBandedQR(QRSolver):
             return Yws, Ts, Vs, j2_top, Yb, Tb, chain_seq, chain_r
 
         self._fac_fn = fac
+        self._fac_mode = pallas_on
         return fac
 
     def r_diagonal(self) -> jnp.ndarray:

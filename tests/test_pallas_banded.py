@@ -1,0 +1,60 @@
+"""Fused Pallas segment-chain kernel vs the XLA scan (interpret mode).
+
+The kernel (ops/pallas_banded.py) runs phase 1 of SegmentedBandedQR as one
+Pallas program; on the CPU mesh it is exercised through the interpreter via
+the private ``_pallas_interpret`` switch.  Factors must match the XLA path
+bit-for-bit up to fp reassociation (same reflector conventions as
+/root/reference/src/QRKit/BandedBlockedSparseQR.h:442-519).
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qrkit_tpu.solvers import SegmentedBandedQR
+
+from generators import overlapping_block_diagonal_matrix
+
+
+def _pair(rng, nv, L):
+    spj = overlapping_block_diagonal_matrix(nv * 2, nv * 7, rng, False)
+    qx = SegmentedBandedQR(
+        suggested_block_cols=2, segment_blocks=L, use_pallas=False
+    ).compute(spj)
+    qp = SegmentedBandedQR(
+        suggested_block_cols=2, segment_blocks=L, use_pallas=True
+    )
+    qp._pallas_interpret = True
+    qp.compute(spj)
+    assert qx._delegate is None and qp._delegate is None
+    assert qp._fac_mode is True and qx._fac_mode is False
+    return spj, qx, qp
+
+
+@pytest.mark.parametrize("nv,L", [(64, 6), (112, 8)])  # aligned + partial tail
+def test_pallas_phase1_matches_xla(rng, nv, L):
+    spj, qx, qp = _pair(rng, nv, L)
+    for name in ("_Yws", "_Ts", "_r_panels", "_chain_r", "_j2_top"):
+        a, b = np.asarray(getattr(qx, name)), np.asarray(getattr(qp, name))
+        assert np.allclose(a, b, atol=1e-12), (name, np.abs(a - b).max())
+    x_true = rng.normal(size=spj.ncols)
+    b = qp.rows_permutation().apply(spj.to_dense() @ x_true)
+    x = np.asarray(qp.solve(jnp.asarray(b)))
+    assert np.allclose(x, x_true, atol=1e-7)
+
+
+def test_auto_selects_xla_on_cpu(rng):
+    # 'auto' must not enable the Mosaic kernel off-TPU (or under x64)
+    spj = overlapping_block_diagonal_matrix(128, 448, rng, False)
+    qr = SegmentedBandedQR(suggested_block_cols=2, segment_blocks=6).compute(spj)
+    assert qr._fac_mode is False
+
+
+def test_force_pallas_raises_on_unsupported_geometry(rng):
+    spj = overlapping_block_diagonal_matrix(128, 448, rng, False)
+    qr = SegmentedBandedQR(
+        suggested_block_cols=2, segment_blocks=6, use_pallas=True
+    )
+    qr.analyze_pattern(spj)
+    qr._pallas_gate = False  # simulate a non-uniform plan
+    with pytest.raises(ValueError, match="use_pallas"):
+        qr.compute(spj)
