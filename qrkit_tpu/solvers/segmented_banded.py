@@ -113,6 +113,74 @@ def _segment_apply_cols(Yws, Ts, s1, s2, split, vt, h1: int, transpose: bool):
     return jax.vmap(one)(Yws, Ts, s1, s2, split, vt)
 
 
+@functools.partial(jax.jit, static_argnames=("h1", "transpose"))
+@highest_precision
+def _segment_apply_cols_shared(Yws, Ts, s1u, s2u, spu, vt, h1: int, transpose: bool):
+    """Uniform-geometry batch form of :func:`_segment_apply_cols`.
+
+    On a uniform chain every segment after the first shares ONE window-scalar
+    sequence (s1/s2/split per chain step — verified by the caller's
+    ``_p2_uniform`` gate), so each step's windows can be cut with a single
+    batch ``dynamic_slice`` over all segments.  The vmapped per-segment form
+    lowers those slices to gathers over the whole work buffer and dominated
+    the factorize pipeline (144 ms of 241 ms at 20k blocks).  Segments whose
+    trailing steps are inactive (the padded tail) are exact no-ops under
+    shared scalars: with ``Y = T = 0`` the update vanishes and the
+    recomposed windows write back exactly the values they gathered.
+    """
+    S, k, R = vt.shape
+    A = Yws.shape[2]
+    jA = jax.lax.broadcasted_iota(jnp.int32, (A,), 0)
+    j1 = jax.lax.broadcasted_iota(jnp.int32, (h1,), 0)
+    vp = jnp.concatenate([vt, jnp.zeros((S, k, h1 + A), vt.dtype)], axis=2)
+    Yl = jnp.moveaxis(Yws, 0, 1)  # [L, S, A, mc]
+    Tl = jnp.moveaxis(Ts, 0, 1)
+
+    def body(carry, blk):
+        Yk, Tk, s1v, s2v, spv = blk
+        zero = jnp.zeros((), s1v.dtype)
+        w1 = jax.lax.dynamic_slice(carry, (zero, zero, s1v), (S, k, h1))
+        w2 = jax.lax.dynamic_slice(carry, (zero, zero, s2v), (S, k, A))
+        # composed-window tail in ONE slice: position s2v-spv+j equals
+        # w2[j-spv] exactly where j >= spv (the gate asserts spv <= s2v)
+        wt = jax.lax.dynamic_slice(carry, (zero, zero, s2v - spv), (S, k, A))
+        wg = jnp.where(
+            (jA < spv)[None, None, :], w1[..., jnp.clip(jA, 0, h1 - 1)], wt
+        )
+        Tt = Tk if transpose else jnp.swapaxes(Tk, 1, 2)
+        wg = wg + ((wg @ Yk) @ Tt) @ jnp.swapaxes(Yk, 1, 2)
+        w1o = jnp.where(
+            (j1 < spv)[None, None, :], wg[..., jnp.clip(j1, 0, A - 1)], w1
+        )
+        wgp = jnp.concatenate([wg, jnp.zeros((S, k, h1), wg.dtype)], axis=2)
+        w2o = jnp.where(
+            (jA + spv < A)[None, None, :],
+            jax.lax.dynamic_slice(wgp, (zero, zero, spv), (S, k, A)),
+            w2,
+        )
+        carry = jax.lax.dynamic_update_slice(carry, w1o, (zero, zero, s1v))
+        carry = jax.lax.dynamic_update_slice(carry, w2o, (zero, zero, s2v))
+        return carry, None
+
+    out, _ = jax.lax.scan(body, vp, (Yl, Tl, s1u, s2u, spu), reverse=not transpose)
+    return out[:, :, :R]
+
+
+def _apply_cols_split(Yws, Ts, meta, vt, h1: int, transpose: bool):
+    """Phase-2 lane-major apply on uniform plans: segment 0 (distinct local
+    column starts — it keeps its leading overlap) runs the general
+    per-segment path; segments 1.. run the shared-scalar batch path."""
+    out0 = _segment_apply_cols(
+        Yws[:1], Ts[:1], meta["starts"][:1], meta["rows2d"][:1],
+        meta["carry2d"][:1], vt[:1], h1, transpose,
+    )
+    outr = _segment_apply_cols_shared(
+        Yws[1:], Ts[1:], meta["s1u"], meta["s2u"], meta["spu"],
+        vt[1:], h1, transpose,
+    )
+    return jnp.concatenate([out0, outr], axis=0)
+
+
 @functools.partial(jax.jit, static_argnames=("transpose",))
 @highest_precision
 def _batched_wy_cols(Y, T, Mt, transpose: bool):
@@ -522,6 +590,35 @@ class SegmentedBandedQR(QRSolver):
         self._rbot_valid = jnp.asarray(rg < self._nbot)
         self._rest_pos = jnp.asarray(rp)
         self._prepare_pallas_gate()
+        self._prepare_p2_gate()
+
+    def _prepare_p2_gate(self):
+        """Gate + scalars for the shared-window phase-2 batch apply
+        (:func:`_segment_apply_cols_shared`): segments 1.. must share one
+        s1/s2/split sequence on their active prefixes (interior segments of a
+        uniform chain do; the padded tail's inactive steps are no-ops), and
+        the composed-window slice needs ``split <= s2`` everywhere."""
+        S, L = self.S, self.L
+        lg, act = self._loc_geom, self._active
+        ok = S >= 2
+        if ok:
+            s1u = lg["cols"][1].astype(np.int32)
+            s2u = lg["rows"][1].astype(np.int32)
+            spu = lg["carry_rows"][1].astype(np.int32)
+            for s in range(1, S):
+                n = int(act[s].sum())
+                ok = (
+                    ok
+                    and bool((lg["cols"][s][:n] == s1u[:n]).all())
+                    and bool((lg["rows"][s][:n] == s2u[:n]).all())
+                    and bool((lg["carry_rows"][s][:n] == spu[:n]).all())
+                )
+            ok = ok and bool((s2u >= spu).all())
+        self._p2_uniform = bool(ok)
+        if ok:
+            self._s1u = jnp.asarray(s1u)
+            self._s2u = jnp.asarray(s2u)
+            self._spu = jnp.asarray(spu)
 
     def _prepare_pallas_gate(self):
         """Decide whether the fused Pallas segment-chain kernel can run phase 1
@@ -714,6 +811,11 @@ class SegmentedBandedQR(QRSolver):
         )
         if pallas_on:
             self._fac_meta["act_soa"] = self._act_soa
+        p2u = self._p2_uniform
+        if p2u:
+            self._fac_meta["s1u"] = self._s1u
+            self._fac_meta["s2u"] = self._s2u
+            self._fac_meta["spu"] = self._spu
 
         def _phase1_xla(pad, meta):
             pj = pad[meta["panel_gmap"]]  # [S*L, mR, max_cols]
@@ -772,13 +874,15 @@ class SegmentedBandedQR(QRSolver):
             meta["panel_gmap"] = gmap
             slab_t = pad[slab_gmap_t]  # [S, 2o, seg_rows(pad)] lane-major
             Yws, Ts, Vs = _phase1(pad, meta)
-            j2slab = jnp.swapaxes(
-                _segment_apply_cols(
+            qt_slab = (
+                _apply_cols_split(Yws, Ts, meta, slab_t, h1, True)
+                if p2u
+                else _segment_apply_cols(
                     Yws, Ts, meta["starts"], meta["rows2d"], meta["carry2d"],
                     slab_t, h1, True,
-                ),
-                1, 2,
+                )
             )
+            j2slab = jnp.swapaxes(qt_slab, 1, 2)
             j2_top = jnp.where(
                 meta["top_valid"][:, :, None], j2slab[:, :nloc_max],
                 jnp.zeros((), dtype),
@@ -1071,6 +1175,7 @@ class SegmentedBandedQR(QRSolver):
         nbot, nbot2 = self._nbot, self._nbot2
 
         cols_d, emit_d, ncols_d = self._chain_solve_meta
+        p2u = self._p2_uniform
         # every device array is a jit argument — see _get_factorize_fn
         self._sol_meta = dict(
             starts=self._starts, rows2d=self._rows2d, carry2d=self._carry2d,
@@ -1084,6 +1189,10 @@ class SegmentedBandedQR(QRSolver):
         )
         if has_perm:
             self._sol_meta["gather_cols"] = jnp.asarray(perm.gather_indices())
+        if p2u:
+            self._sol_meta["s1u"] = self._s1u
+            self._sol_meta["s2u"] = self._s2u
+            self._sol_meta["spu"] = self._spu
 
         @jax.jit
         def sol(Yws, Ts, Yb, Tb, chain_seq, chain_r, j2_top, r_panels, b, meta):
@@ -1098,9 +1207,13 @@ class SegmentedBandedQR(QRSolver):
                 b[jnp.clip(seg_gather, 0, nrows_tot - 1)][:, None, :],
                 jnp.zeros((), dt),
             )
-            out = _segment_apply_cols(
-                Yws, Ts, meta["starts"], meta["rows2d"], meta["carry2d"],
-                vt, h1, True,
+            out = (
+                _apply_cols_split(Yws, Ts, meta, vt, h1, True)
+                if p2u
+                else _segment_apply_cols(
+                    Yws, Ts, meta["starts"], meta["rows2d"], meta["carry2d"],
+                    vt, h1, True,
+                )
             )
             scat = jnp.zeros((nrows_tot,), dt)
             scat = scat.at[seg_gather.reshape(-1)].set(
