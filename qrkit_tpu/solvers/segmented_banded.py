@@ -166,19 +166,25 @@ def _segment_apply_cols_shared(Yws, Ts, s1u, s2u, spu, vt, h1: int, transpose: b
     return out[:, :, :R]
 
 
-def _apply_cols_split(Yws, Ts, meta, vt, h1: int, transpose: bool):
-    """Phase-2 lane-major apply on uniform plans: segment 0 (distinct local
-    column starts — it keeps its leading overlap) runs the general
-    per-segment path; segments 1.. run the shared-scalar batch path."""
-    out0 = _segment_apply_cols(
-        Yws[:1], Ts[:1], meta["starts"][:1], meta["rows2d"][:1],
-        meta["carry2d"][:1], vt[:1], h1, transpose,
+def _apply_cols_split(Yws, Ts, meta, vt, h1: int, transpose: bool, nuni: int):
+    """Phase-2 lane-major apply on uniform plans: segments ``1..1+nuni``
+    (the maximal uniform run found by the plan-time gate) run the
+    shared-scalar batch path; segment 0 (distinct local column starts — it
+    keeps its leading overlap) and any irregular tail segments (a final
+    chain block without trailing overlap changes the last segment's
+    geometry) run the general per-segment path."""
+    S = vt.shape[0]
+    e = 1 + nuni
+    gi = np.array([0] + list(range(e, S)))
+    out_g = _segment_apply_cols(
+        Yws[gi], Ts[gi], meta["starts"][gi], meta["rows2d"][gi],
+        meta["carry2d"][gi], vt[gi], h1, transpose,
     )
-    outr = _segment_apply_cols_shared(
-        Yws[1:], Ts[1:], meta["s1u"], meta["s2u"], meta["spu"],
-        vt[1:], h1, transpose,
+    out_u = _segment_apply_cols_shared(
+        Yws[1:e], Ts[1:e], meta["s1u"], meta["s2u"], meta["spu"],
+        vt[1:e], h1, transpose,
     )
-    return jnp.concatenate([out0, outr], axis=0)
+    return jnp.concatenate([out_g[:1], out_u, out_g[1:]], axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=("transpose",))
@@ -600,22 +606,29 @@ class SegmentedBandedQR(QRSolver):
         the composed-window slice needs ``split <= s2`` everywhere."""
         S, L = self.S, self.L
         lg, act = self._loc_geom, self._active
-        ok = S >= 2
-        if ok:
+        nuni = 0
+        if S >= 2:
             s1u = lg["cols"][1].astype(np.int32)
             s2u = lg["rows"][1].astype(np.int32)
             spu = lg["carry_rows"][1].astype(np.int32)
-            for s in range(1, S):
-                n = int(act[s].sum())
-                ok = (
-                    ok
-                    and bool((lg["cols"][s][:n] == s1u[:n]).all())
-                    and bool((lg["rows"][s][:n] == s2u[:n]).all())
-                    and bool((lg["carry_rows"][s][:n] == spu[:n]).all())
-                )
-            ok = ok and bool((s2u >= spu).all())
-        self._p2_uniform = bool(ok)
-        if ok:
+            if bool((s2u >= spu).all()):
+                # maximal run of segments (from 1) matching the shared
+                # scalars on their active prefixes; an irregular tail (the
+                # final chain block carries no trailing overlap) stays on
+                # the general per-segment path
+                for s in range(1, S):
+                    n = int(act[s].sum())
+                    if (
+                        bool((lg["cols"][s][:n] == s1u[:n]).all())
+                        and bool((lg["rows"][s][:n] == s2u[:n]).all())
+                        and bool((lg["carry_rows"][s][:n] == spu[:n]).all())
+                    ):
+                        nuni += 1
+                    else:
+                        break
+        self._p2_nuni = nuni if nuni >= 2 else 0
+        self._p2_uniform = self._p2_nuni > 0
+        if self._p2_uniform:
             self._s1u = jnp.asarray(s1u)
             self._s2u = jnp.asarray(s2u)
             self._spu = jnp.asarray(spu)
@@ -812,6 +825,7 @@ class SegmentedBandedQR(QRSolver):
         if pallas_on:
             self._fac_meta["act_soa"] = self._act_soa
         p2u = self._p2_uniform
+        nuni = self._p2_nuni
         if p2u:
             self._fac_meta["s1u"] = self._s1u
             self._fac_meta["s2u"] = self._s2u
@@ -875,7 +889,7 @@ class SegmentedBandedQR(QRSolver):
             slab_t = pad[slab_gmap_t]  # [S, 2o, seg_rows(pad)] lane-major
             Yws, Ts, Vs = _phase1(pad, meta)
             qt_slab = (
-                _apply_cols_split(Yws, Ts, meta, slab_t, h1, True)
+                _apply_cols_split(Yws, Ts, meta, slab_t, h1, True, nuni)
                 if p2u
                 else _segment_apply_cols(
                     Yws, Ts, meta["starts"], meta["rows2d"], meta["carry2d"],
@@ -1176,6 +1190,7 @@ class SegmentedBandedQR(QRSolver):
 
         cols_d, emit_d, ncols_d = self._chain_solve_meta
         p2u = self._p2_uniform
+        nuni = self._p2_nuni
         # every device array is a jit argument — see _get_factorize_fn
         self._sol_meta = dict(
             starts=self._starts, rows2d=self._rows2d, carry2d=self._carry2d,
@@ -1208,7 +1223,7 @@ class SegmentedBandedQR(QRSolver):
                 jnp.zeros((), dt),
             )
             out = (
-                _apply_cols_split(Yws, Ts, meta, vt, h1, True)
+                _apply_cols_split(Yws, Ts, meta, vt, h1, True, nuni)
                 if p2u
                 else _segment_apply_cols(
                     Yws, Ts, meta["starts"], meta["rows2d"], meta["carry2d"],
