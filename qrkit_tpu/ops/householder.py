@@ -33,6 +33,7 @@ __all__ = [
     "apply_wy",
     "form_q",
     "batched_panel_qr_yt",
+    "panel_qr_yt_soa",
 ]
 
 
@@ -326,6 +327,70 @@ def form_q(Y: jnp.ndarray, T: jnp.ndarray) -> jnp.ndarray:
 def batched_panel_qr_yt(blocks: jnp.ndarray, panel_width: int = 16):
     """vmap of :func:`panel_qr_yt` over a [nb, m, n] block batch."""
     return jax.vmap(lambda a: panel_qr_yt(a, 0, panel_width))(blocks)
+
+
+@highest_precision
+def panel_qr_yt_soa(A: jnp.ndarray):
+    """Batched unblocked Householder QR on a lane-major SoA batch.
+
+    ``A`` is ``[m, n, B]`` — the batch axis LAST, so it lands in TPU lanes
+    and every per-batch scalar of the recurrence (norms, taus, pivots) is a
+    full lane vector; column ops run on dense ``[m, B]`` tiles.  The AoS
+    form ``[B, m, n]`` with n ≪ 128 is 128/n-fold lane-padded, and a vmapped
+    :func:`panel_qr_yt` over it pays that padding on every one of its n
+    column passes — the CAQR bottom-slab stage of ``SegmentedBandedQR`` ran
+    16× more HBM traffic than its logical bytes that way.
+
+    Conventions match :func:`householder_qr_unblocked` +
+    :func:`build_t_factor` exactly (v[j] = 1, tau = 0 on degenerate
+    columns, ``Q = I + Y T Yᵀ`` with the negated-T convention of the
+    reference, BandedBlockedSparseQR.h:476-477); offset is fixed at 0.
+    ``n`` must be small (the loop unrolls; CAQR slabs have n = 2·overlap).
+
+    Returns ``(Y [m, n, B], T [n, n, B], R_top [n, n, B])`` where R_top is
+    the leading n rows of the reduced matrix (upper-triangular part = R).
+    All contractions are written as broadcast-multiply + axis-sum so XLA
+    lowers them to VPU elementwise/reduce ops over the lane axis — no
+    dot_general that could force a relayout of the SoA operands.
+    """
+    m, n, B = A.shape
+    dt = A.dtype
+    one = jnp.ones((), dt)
+    zero = jnp.zeros((), dt)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (m,), 0)
+    ys, taus = [], []
+    for j in range(n):
+        col = A[:, j]  # [m, B]
+        tail_mask = (rows > j)[:, None]
+        x0 = col[j]  # [B]
+        tail = jnp.where(tail_mask, col, zero)
+        sigma = jnp.sum(tail * tail, axis=0)
+        norm = jnp.sqrt(x0 * x0 + sigma)
+        sign = jnp.where(x0 >= 0, one, -one)
+        beta = -sign * norm
+        degenerate = sigma <= zero
+        safe_denom = jnp.where(degenerate, one, x0 - beta)
+        v = jnp.where(tail_mask, col / safe_denom, zero)
+        v = v.at[j].set(one)
+        safe_beta = jnp.where(norm == 0, one, beta)
+        tau = jnp.where(degenerate, zero, (beta - x0) / safe_beta)
+        # H A = A - tau v (vᵀ A); processed columns c < j have zero tails
+        # below row j, so the full-width update is a no-op on them (same
+        # argument as _householder_column)
+        w = tau[None, :] * jnp.sum(v[:, None, :] * A, axis=0)  # [n, B]
+        A = A - v[:, None, :] * w[None, :, :]
+        ys.append(v)
+        taus.append(tau)
+    Y = jnp.stack(ys, axis=1)  # [m, n, B]
+    T = jnp.zeros((n, n, B), dt)
+    for j in range(n):
+        tau = taus[j]
+        if j > 0:
+            z = jnp.sum(Y[:, :j] * Y[:, j][:, None, :], axis=0)  # [j, B]
+            Tz = jnp.sum(T[:j, :j] * z[None, :, :], axis=1)  # [j, B]
+            T = T.at[:j, j].set(-tau[None, :] * Tz)
+        T = T.at[j, j].set(tau)
+    return Y, -T, A[:n]
 
 
 @highest_precision

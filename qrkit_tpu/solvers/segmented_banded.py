@@ -48,7 +48,7 @@ import numpy as np
 
 from ..analysis import as_banded_as_possible, block_banded_info, from_block_banded_pattern
 from ..ops.compact_wy import TwoSegmentWYSeq
-from ..ops.householder import highest_precision, panel_qr_yt
+from ..ops.householder import highest_precision, panel_qr_yt_soa
 from ..sparse import Permutation, SparseCSR
 from .banded_blocked import _banded_factorize_chunk, _banded_solve_chunk, banded_geometry
 from .base import ComputationInfo, QRSolver
@@ -193,6 +193,29 @@ def _batched_wy_cols(Y, T, Mt, transpose: bool):
     """Batched compact-WY apply on lane-major operands Mt [S, k, rows]."""
     Tt = T if transpose else jnp.swapaxes(T, 1, 2)
     return Mt + ((Mt @ Y) @ Tt) @ jnp.swapaxes(Y, 1, 2)
+
+
+@functools.partial(jax.jit, static_argnames=("transpose", "out_rows"))
+@highest_precision
+def _batched_wy_soa(Y_soa, T_aos, w_soa, transpose: bool, out_rows=None):
+    """Batched compact-WY apply with the batch axis in LANES.
+
+    ``Y_soa`` [m, n, S] (the CAQR factors as stored), ``T_aos`` [S, n, n]
+    (small, stored AoS), ``w_soa`` [m, k, S].  Computes
+    ``w + Y (T or Tᵀ) (Yᵀ w)`` per lane-batch entry; with ``out_rows=r``
+    only the first r output rows are formed (the fused solve feeds just the
+    2o chain-space rows onward, so the m−2o pass-through rows of Y need only
+    be READ for Yᵀw, never written back).  All contractions are
+    broadcast-multiply + axis-sum — VPU elementwise over the lane axis, no
+    dot_general relayout of the SoA operand.
+    """
+    T_soa = jnp.transpose(T_aos, (1, 2, 0))  # [n, n, S]
+    u = jnp.sum(Y_soa[:, :, None, :] * w_soa[:, None, :, :], axis=0)  # [n,k,S]
+    Tm = jnp.swapaxes(T_soa, 0, 1) if transpose else T_soa
+    z = jnp.sum(Tm[:, :, None, :] * u[None, :, :, :], axis=1)  # [n,k,S]
+    Yr = Y_soa if out_rows is None else Y_soa[:out_rows]
+    wr = w_soa if out_rows is None else w_soa[:out_rows]
+    return wr + jnp.sum(Yr[:, :, None, :] * z[None, :, :, :], axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("transpose",))
@@ -543,7 +566,50 @@ class SegmentedBandedQR(QRSolver):
             c0b = max(0, si - 1) * o
             ncb = min(2 * o, self._m2 - c0b) if 0 < si < S - 1 else o
             chain_blocks.append(_BI(si * 2 * o, int(c0b), 2 * o, int(ncb)))
-        chain_plan = _SP(self._nbot2, self._m2, tuple(chain_blocks))
+        # Re-block the chain into groups of G consecutive factors.  The scan
+        # over the compressed chain is per-step-latency-bound (625 steps of
+        # [3o, 2o] panels ran ~23 ms factorize + two ~equal solve scans at
+        # 20k blocks); G-fold grouping cuts the step count G-fold — and the
+        # total reflector count too, since only one o-column carry overlap is
+        # refactorized per GROUP instead of per block.  G is capped so the
+        # grouped panel stays on the unrolled panel-QR path ((G+1)·o ≤ 32
+        # columns), and grouping only engages on long chains.
+        G = 1
+        if S >= 24:
+            G = max(1, min(32 // o - 1, S // 8))
+        self._chain_group = G
+        if G > 1:
+            gblocks = []
+            for g0 in range(0, S, G):
+                blks = chain_blocks[g0 : g0 + G]
+                c0g = min(b.col for b in blks)
+                c1g = max(b.col + b.ncols for b in blks)
+                gblocks.append(
+                    _BI(blks[0].row, c0g, sum(b.nrows for b in blks), c1g - c0g)
+                )
+            Sg = len(gblocks)
+            mrg = max(b.nrows for b in gblocks)
+            mcg = max(b.ncols for b in gblocks)
+            # map scattering comp's [S, 2o, 2o] entries into grouped panels
+            # (sentinel = index of the appended zero)
+            rmap = np.full((Sg, mrg, mcg), S * 4 * o * o, dtype=np.int64)
+            for g0 in range(0, S, G):
+                g = g0 // G
+                gb = gblocks[g]
+                for i, b in enumerate(chain_blocks[g0 : g0 + G]):
+                    r0 = b.row - gb.row
+                    c0 = b.col - gb.col
+                    idx = (
+                        (g0 + i) * 4 * o * o
+                        + np.arange(2 * o)[:, None] * 2 * o
+                        + np.arange(b.ncols)[None, :]
+                    )
+                    rmap[g, r0 : r0 + 2 * o, c0 : c0 + b.ncols] = idx
+            self._chain_regroup = jnp.asarray(rmap)
+            chain_plan = _SP(self._nbot2, self._m2, tuple(gblocks))
+        else:
+            self._chain_regroup = None
+            chain_plan = _SP(self._nbot2, self._m2, tuple(chain_blocks))
         cg = banded_geometry(chain_plan)
         self._chain_geom = cg
         self._chain_geom_dev = {
@@ -594,6 +660,10 @@ class SegmentedBandedQR(QRSolver):
             rp[s, :n] = self._nbot2 + int(cum_rest[s]) + np.arange(n)
         self._rbot_gather = jnp.asarray(rg)
         self._rbot_valid = jnp.asarray(rg < self._nbot)
+        # lane-major twins for the fused solve's SoA bottom apply
+        # (rows in sublanes, segments in lanes — matches the SoA Yb store)
+        self._rbot_gather_t = jnp.asarray(np.ascontiguousarray(rg.T))
+        self._rbot_valid_t = jnp.asarray(np.ascontiguousarray((rg < self._nbot).T))
         self._rest_pos = jnp.asarray(rp)
         self._prepare_pallas_gate()
         self._prepare_p2_gate()
@@ -741,7 +811,8 @@ class SegmentedBandedQR(QRSolver):
             lead = seg_of == seam
             ok = lead | (seg_of == seam - 1)  # non-adjacent rows cannot occur
             slabcol = np.where(lead, b_s % o, o + b_s % o)
-            gm = np.full((S, self._max_seg_rows, 2 * o), pmat.nnz, dtype=np.int64)
+            gdt = np.int32 if pmat.nnz + 1 < 2**31 else np.int64
+            gm = np.full((S, self._max_seg_rows, 2 * o), pmat.nnz, dtype=gdt)
             gm[
                 seg_of[ok], (r_s - self._seg_row0_arr[seg_of])[ok], slabcol[ok]
             ] = np.nonzero(sel)[0][ok]
@@ -781,13 +852,19 @@ class SegmentedBandedQR(QRSolver):
         communication structure.  No-op when S does not tile the mesh."""
         if self.S % self.mesh.devices.size != 0:
             return
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
         from ..parallel.mesh import shard_leading_axis
 
         (self._Yws, self._Ts, self._r_panels,
-         self._Yb, self._Tb, self._j2_top) = shard_leading_axis(
+         self._Tb, self._j2_top) = shard_leading_axis(
             (self._Yws, self._Ts, self._r_panels,
-             self._Yb, self._Tb, self._j2_top),
+             self._Tb, self._j2_top),
             self.mesh, self.axis,
+        )
+        # Yb is SoA: the segment axis sits LAST (in lanes)
+        self._Yb = jax.device_put(
+            self._Yb, NamedSharding(self.mesh, P(None, None, self.axis))
         )
 
     def _get_factorize_fn(self, pallas_on: bool = False):
@@ -824,6 +901,9 @@ class SegmentedBandedQR(QRSolver):
         )
         if pallas_on:
             self._fac_meta["act_soa"] = self._act_soa
+        grouped = self._chain_regroup is not None
+        if grouped:
+            self._fac_meta["chain_regroup"] = self._chain_regroup
         p2u = self._p2_uniform
         nuni = self._p2_nuni
         if p2u:
@@ -896,28 +976,49 @@ class SegmentedBandedQR(QRSolver):
                     slab_t, h1, True,
                 )
             )
-            j2slab = jnp.swapaxes(qt_slab, 1, 2)
+            # stored LANE-MAJOR [S, 2o, nloc]: the AoS [S, nloc, 2o] form is
+            # 128/(2o)-fold lane-padded (61 MB effective at 20k blocks), and
+            # qt_slab is already lane-major so no transpose is needed at all
             j2_top = jnp.where(
-                meta["top_valid"][:, :, None], j2slab[:, :nloc_max],
+                meta["top_valid"][:, None, :],
+                qt_slab[:, :, :nloc_max],
                 jnp.zeros((), dtype),
             )
-            bot_idx = meta["bot_idx"]
+            bot_idx = meta["bot_idx"]  # [S, rbot_max]
+            # bottom rows cut straight from the LANE-MAJOR slab: an AoS
+            # [S, rbot, 2o] bot is 128/(2o)-fold lane-padded and the vmapped
+            # per-segment QR paid that on every column pass (37 ms of the
+            # 20k-block factorize); instead keep rows in lanes and run the
+            # batched SoA panel QR with the segment axis in lanes
             bot = jnp.take_along_axis(
-                j2slab,
-                jnp.broadcast_to(bot_idx[:, :, None], bot_idx.shape + (2 * o,)),
-                axis=1,
-            )
-            bot = jnp.where(meta["bot_valid"][:, :, None], bot, jnp.zeros((), dtype))
+                qt_slab,
+                jnp.broadcast_to(
+                    bot_idx[:, None, :], (S, 2 * o, bot_idx.shape[1])
+                ),
+                axis=2,
+            )  # [S, 2o, rbot_max]
+            bot = jnp.where(meta["bot_valid"][:, None, :], bot, jnp.zeros((), dtype))
             # chain block 0 has no leading boundary: its local columns are the
             # trailing slab columns (the wrapped leading part is zero)
-            bot = bot.at[0].set(jnp.roll(bot[0], -o, axis=-1))
-            # CAQR compression: ONE vmapped QR reduces each [rbot, 2o] slab to
-            # its [2o, 2o] R factor — batch-parallel (and shard-parallel) —
-            # so the sequential boundary chain runs over tiny factors
-            Yb, Tb, Rb = jax.vmap(panel_qr_yt)(bot)
-            comp = jnp.triu(Rb[:, : 2 * o])
+            bot = bot.at[0].set(jnp.roll(bot[0], -o, axis=0))
+            bot_soa = jnp.transpose(bot, (2, 1, 0))  # [rbot, 2o, S]
+            # CAQR compression: ONE batched SoA QR reduces each [rbot, 2o]
+            # slab to its [2o, 2o] R factor — batch-parallel (and
+            # shard-parallel) — so the sequential boundary chain runs over
+            # tiny factors.  Yb stays SoA ([rbot, 2o, S], segments in lanes):
+            # the fused solve consumes it that way; protocol paths transpose.
+            Yb, Tb_soa, Rb_top = panel_qr_yt_soa(bot_soa)
+            Tb = jnp.transpose(Tb_soa, (2, 0, 1))  # [S, 2o, 2o] (small)
+            comp = jnp.triu(jnp.transpose(Rb_top, (2, 0, 1)))
+            if grouped:
+                compf = jnp.concatenate(
+                    [comp.reshape(-1), jnp.zeros((1,), dtype)]
+                )
+                pan = compf[meta["chain_regroup"]]
+            else:
+                pan = comp[..., : ckw["max_cols"]]
             chain_seq, chain_r = banded_factorize(
-                comp[..., : ckw["max_cols"]], meta["chain_geom"], **ckw, m=nbot2
+                pan, meta["chain_geom"], **ckw, m=nbot2
             )
             return Yws, Ts, Vs, j2_top, Yb, Tb, chain_seq, chain_r
 
@@ -1033,7 +1134,9 @@ class SegmentedBandedQR(QRSolver):
             v2[jnp.clip(self._rbot_gather, 0, self._nbot - 1)],
             jnp.zeros((), v2.dtype),
         )  # [S, rbot_max, k]
-        w = _batched_wy(self._Yb, self._Tb, w, True)
+        # _Yb is stored SoA ([rbot, 2o, S]); the protocol path pays one
+        # transpose — the fused solve path never does
+        w = _batched_wy(jnp.transpose(self._Yb, (2, 0, 1)), self._Tb, w, True)
         z = self._chain_seq.apply_qt(w[:, : 2 * o].reshape(self._nbot2, k))
         out = jnp.zeros((self._nbot, k), v2.dtype)
         out = out.at[: self._nbot2].set(z)
@@ -1057,7 +1160,7 @@ class SegmentedBandedQR(QRSolver):
             w = jnp.concatenate([z, rest], axis=1)
         else:
             w = z
-        w = _batched_wy(self._Yb, self._Tb, w, False)
+        w = _batched_wy(jnp.transpose(self._Yb, (2, 0, 1)), self._Tb, w, False)
         out = jnp.zeros((self._nbot, k), v2.dtype)
         return out.at[self._rbot_gather.reshape(-1)].set(
             w.reshape(-1, k), mode="drop"
@@ -1123,7 +1226,7 @@ class SegmentedBandedQR(QRSolver):
             [jnp.zeros((o,), x2.dtype), x2, jnp.zeros((o,), x2.dtype)]
         )
         x2seg = x2pad[self._x2_idx]  # [S, 2o]
-        contrib = highest_precision(jnp.einsum)("snj,sj->sn", self._j2_top, x2seg)
+        contrib = highest_precision(jnp.einsum)("sjn,sj->sn", self._j2_top, x2seg)
         # vmapped per-segment banded back-substitution
         S, L = self.S, self.L
         nloc_max = self._nloc_max
@@ -1198,8 +1301,8 @@ class SegmentedBandedQR(QRSolver):
             x2_idx=self._x2_idx, ncols_loc_d=self._ncols_d,
             active_d=self._active_d, emit2d=self._emit_d,
             seg_gather=self._seg_gather, seg_valid=self._seg_valid,
-            row_order=self._row_order, rbot_gather=self._rbot_gather,
-            rbot_valid=self._rbot_valid, col_gather=self._col_gather,
+            row_order=self._row_order, rbot_gather_t=self._rbot_gather_t,
+            rbot_valid_t=self._rbot_valid_t, col_gather=self._col_gather,
             col_valid=self._col_valid,
         )
         if has_perm:
@@ -1237,14 +1340,16 @@ class SegmentedBandedQR(QRSolver):
             top = scat[meta["row_order"]]
             # compressed boundary reduction Qᵀ + back-substitution: only the
             # chain-space rows matter for x2, so the pass-through rows of the
-            # full _bot_qt are skipped here
+            # full _bot_qt are skipped — and the whole apply runs in the SoA
+            # layout Yb is stored in ([rbot, 2o, S], segments in lanes),
+            # forming only the 2o chain-space output rows
             w = jnp.where(
-                meta["rbot_valid"][:, None, :],
-                top[m1:][jnp.clip(meta["rbot_gather"], 0, nbot - 1)][:, None, :],
+                meta["rbot_valid_t"][:, None, :],
+                top[m1:][jnp.clip(meta["rbot_gather_t"], 0, nbot - 1)][:, None, :],
                 jnp.zeros((), dt),
-            )
-            w = _batched_wy_cols(Yb, Tb, w, True)
-            ybot = chain_seq.apply_qt(w[:, 0, : 2 * o].reshape(nbot2))
+            )  # [rbot_max, 1, S]
+            w2o = _batched_wy_soa(Yb, Tb, w, True, out_rows=2 * o)
+            ybot = chain_seq.apply_qt(w2o[:, 0, :].T.reshape(nbot2))
             x2 = banded_solve_r(
                 chain_r, meta["cols_d"], meta["emit_d"], meta["ncols_d"],
                 ybot[:m2],
@@ -1254,7 +1359,7 @@ class SegmentedBandedQR(QRSolver):
                 [jnp.zeros((o,), dt), x2, jnp.zeros((o,), dt)]
             )
             contrib = highest_precision(jnp.einsum)(
-                "snj,sj->sn", j2_top, x2pad[meta["x2_idx"]]
+                "sjn,sj->sn", j2_top, x2pad[meta["x2_idx"]]
             )
             idx_top = jnp.where(
                 col_valid[:, :nloc_max], col_gather[:, :nloc_max], m1
@@ -1297,7 +1402,8 @@ class SegmentedBandedQR(QRSolver):
                 c0 = base + int(self._loc_geom["cols"][s, j])
                 R[c0 : c0 + er, c0 : c0 + nc] = rp[s, j, :er, :nc]
         # top-right: the structured J2 slabs scattered to their boundary columns
-        jt = np.asarray(self._j2_top)
+        # (device store is lane-major [S, 2o, nloc]; row-major here for slicing)
+        jt = np.asarray(self._j2_top).transpose(0, 2, 1)
         for s in range(self.S):
             nloc = self._seg_ncols[s]
             r0 = int(self._seg_col0[s])
@@ -1308,7 +1414,7 @@ class SegmentedBandedQR(QRSolver):
         # bottom-right: the boundary chain's R panels
         cr = np.asarray(self._chain_r)
         cg = self._chain_geom
-        for i in range(self.S):
+        for i in range(len(cg["ncols"])):
             er = int(cg["emit_rows"][i])
             nc = int(cg["ncols"][i])
             c0 = int(cg["cols"][i])
@@ -1345,7 +1451,8 @@ class SegmentedBandedQR(QRSolver):
             )
         )
 
-        jt = np.asarray(self._j2_top)  # [S, nloc_max, 2o]
+        # device store is lane-major [S, 2o, nloc]; row-major [S, nloc, 2o] here
+        jt = np.asarray(self._j2_top).transpose(0, 2, 1)
         rloc = np.asarray(self._seg_col0)[:, None, None] + np.arange(jt.shape[1])[
             None, :, None
         ]

@@ -15,7 +15,8 @@ SparseQROrdering.h).  Conventions follow Eigen:
 from __future__ import annotations
 
 import dataclasses
-import hashlib
+import itertools
+import weakref
 from typing import Tuple
 
 import numpy as np
@@ -23,6 +24,12 @@ import numpy as np
 from . import _native
 
 __all__ = ["Permutation", "SparseCSR", "coo_to_csr", "load_matrix_market", "save_matrix_market"]
+
+# Interned stored-layout tokens (see SparseCSR.pattern_fingerprint): weakrefs
+# so the registry pins no memory; bounded so lookup stays O(1)-ish.
+_LAYOUT_REGISTRY = []
+_LAYOUT_MAX = 8
+_layout_counter = itertools.count()
 
 
 @dataclasses.dataclass(frozen=True)
@@ -238,10 +245,14 @@ class SparseCSR:
     def panels_gather_map(self, blocks, pad_rows: int, pad_cols: int) -> np.ndarray:
         """Pattern-only index map for ON-DEVICE panel extraction.
 
-        Returns int64 ``[nb, pad_rows, pad_cols]`` with ``map[k, r, c]`` = the
+        Returns ``[nb, pad_rows, pad_cols]`` with ``map[k, r, c]`` = the
         index into ``self.data`` of panel entry (r, c) of block k, or ``nnz``
         (sentinel) for structural zeros — so
-        ``concat([data, [0]])[map] == blocks_dense(blocks, ...)``.
+        ``concat([data, [0]])[map] == blocks_dense(blocks, ...)``.  The dtype
+        is int32 whenever the sentinel fits (nnz < 2³¹): the map itself is
+        the largest read of the device-side extraction (pad_rows·pad_cols
+        indices per block vs ~nnz data elements), so halving the index bytes
+        directly cuts the gather stage's HBM traffic.
 
         Why: through a remote-accelerator tunnel, re-uploading padded dense
         panels per factorize costs pad_rows*pad_cols/nnz-per-block times the
@@ -255,7 +266,8 @@ class SparseCSR:
         :meth:`blocks_dense` drops them.
         """
         nnz = self.nnz
-        gm = np.full((len(blocks), pad_rows, pad_cols), nnz, dtype=np.int64)
+        dtype = np.int32 if nnz + 1 < 2**31 else np.int64
+        gm = np.full((len(blocks), pad_rows, pad_cols), nnz, dtype=dtype)
         if not len(blocks) or nnz == 0:
             return gm
         binfo = np.asarray([tuple(b) for b in blocks], dtype=np.int64)
@@ -278,19 +290,51 @@ class SparseCSR:
         return gm
 
     def pattern_fingerprint(self):
-        """Exact digest of the stored-nonzero LAYOUT.
+        """Exact token identifying the stored-nonzero LAYOUT.
 
         Two matrices with the same block structure can differ in stored
         layout (an entry pruned to exact zero and dropped by from_triplets,
         say) — anything keyed on data POSITIONS (the device gather maps) must
-        be rebuilt then, not just when the analyzed plan changes.  A
-        cryptographic digest of the raw index bytes (not an additive
-        checksum, which compensating entry moves could collide) makes a
-        stale-map reuse effectively impossible; still O(nnz), ~GB/s."""
-        h = hashlib.blake2b(digest_size=16)
-        h.update(np.ascontiguousarray(self.indices).tobytes())
-        h.update(np.ascontiguousarray(self.indptr).tobytes())
-        return (self.nnz, h.digest())
+        be rebuilt then, not just when the analyzed plan changes.  Earlier a
+        blake2b digest of the index bytes; that cost ~90 ms per compute at
+        420k×120k (it dominated the warm factorize's host half), so layouts
+        are now interned in a small registry by *object identity* first and
+        *exact* ``np.array_equal`` comparison second (≈4 ms at that scale,
+        and O(1) for the LM pattern of many computes over one structure
+        object).  Equal layouts get equal tokens; distinct layouts provably
+        distinct tokens — no hash, no collisions.  One caveat, documented in
+        the README migration notes: mutating a previously-fingerprinted
+        ``indices``/``indptr`` array IN PLACE is not detected (matching the
+        reference's analyzePattern contract, where pattern mutation without
+        re-analysis is undefined — QRKit.h solvers cache analyzePattern
+        results the same way)."""
+        memo = self.__dict__.get("_fp_memo")
+        if memo is not None:
+            return memo
+        ind, ptr = self.indices, self.indptr
+        token = None
+        live = []
+        for wind, wptr, tok in _LAYOUT_REGISTRY:
+            i2, p2 = wind(), wptr()
+            if i2 is None or p2 is None:
+                continue
+            live.append((wind, wptr, tok))
+            if token is None and (
+                (i2 is ind and p2 is ptr)
+                or (
+                    i2.shape == ind.shape
+                    and p2.shape == ptr.shape
+                    and np.array_equal(p2, ptr)
+                    and np.array_equal(i2, ind)
+                )
+            ):
+                token = tok
+        if token is None:
+            token = (self.nnz, next(_layout_counter))
+        live.append((weakref.ref(ind), weakref.ref(ptr), token))
+        _LAYOUT_REGISTRY[:] = live[-_LAYOUT_MAX:]
+        self._fp_memo = token
+        return token
 
     def hstack_dense_block(self, c0: int, nc: int) -> np.ndarray:
         return self.block_dense(0, c0, self.nrows, nc)

@@ -78,3 +78,31 @@ def test_fallback_to_banded(rng):
         SegmentedBandedQR(
             suggested_block_cols=2, segment_blocks=32, fallback=False
         ).compute(spj)
+
+
+def test_segmented_grouped_chain_matches_contract(rng):
+    """Long chains re-block the boundary chain into groups (G > 1): the
+    grouped plan must preserve the full solver contract (R, Q applies,
+    diagonal, sparse export, LS solve)."""
+    spj = overlapping_block_diagonal_matrix(256, 896, rng, False)
+    qr = SegmentedBandedQR(suggested_block_cols=2, segment_blocks=4).compute(spj)
+    assert qr._delegate is None
+    assert qr._chain_group > 1  # the re-blocking actually engaged
+    dense = spj.to_dense()
+    pA = qr.rows_permutation().apply(dense)
+    pAP = pA[:, qr.cols_permutation().indices]
+    R = np.asarray(qr.matrix_r_dense())
+    QtAP = np.asarray(qr.apply_qt(jnp.asarray(pAP)))
+    assert np.allclose(QtAP, R, atol=1e-8), np.abs(QtAP - R).max()
+    assert np.allclose(np.tril(R, -1), 0.0, atol=1e-10)
+    # r_diagonal and the sparse export agree with the dense R
+    assert np.allclose(np.asarray(qr.r_diagonal()), np.diag(R)[: spj.ncols], atol=1e-10)
+    Rs = qr.matrix_r_sparse().to_dense()
+    assert np.allclose(Rs, R[: Rs.shape[0]], atol=1e-10)
+    v = rng.normal(size=spj.nrows)
+    vv = np.asarray(qr.apply_q(qr.apply_qt(jnp.asarray(v))))
+    assert np.allclose(vv, v, atol=1e-9)
+    x_true = rng.normal(size=spj.ncols)
+    b = qr.rows_permutation().apply(dense @ x_true)
+    x = np.asarray(qr.solve(jnp.asarray(b)))
+    assert np.allclose(x, x_true, atol=1e-7), np.abs(x - x_true).max()
