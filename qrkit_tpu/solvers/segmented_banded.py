@@ -56,6 +56,17 @@ from .base import ComputationInfo, QRSolver
 __all__ = ["SegmentedBandedQR"]
 
 
+def _imap(a) -> jnp.ndarray:
+    """Device index map in int32 when every index fits (they are bounded by
+    nrows/nnz, < 2³¹ for any realizable single-chip problem): index arrays
+    are the dominant *read* of gather-heavy solve/factorize stages, so
+    halving their bytes halves that traffic.  Falls back to int64 past 2³¹."""
+    a = np.asarray(a)
+    if a.size == 0 or (a.min() >= -(2**31) and a.max() < 2**31 - 1):
+        return jnp.asarray(np.ascontiguousarray(a, dtype=np.int32))
+    return jnp.asarray(np.ascontiguousarray(a))
+
+
 @functools.partial(jax.jit, static_argnames=("max_carry", "max_emit"))
 def _vmapped_chain(C0, shifted, col_inc, active, **kw):
     """vmap of the banded scan chunk over the segment axis."""
@@ -216,14 +227,6 @@ def _batched_wy_soa(Y_soa, T_aos, w_soa, transpose: bool, out_rows=None):
     Yr = Y_soa if out_rows is None else Y_soa[:out_rows]
     wr = w_soa if out_rows is None else w_soa[:out_rows]
     return wr + jnp.sum(Yr[:, :, None, :] * z[None, :, :, :], axis=1)
-
-
-@functools.partial(jax.jit, static_argnames=("transpose",))
-@highest_precision
-def _batched_wy(Y, T, M, transpose: bool):
-    """Batched compact-WY apply: M + Y ((T or Tᵀ) (Yᵀ M)) over a leading axis."""
-    Tt = jnp.swapaxes(T, 1, 2) if transpose else T
-    return M + Y @ (Tt @ (jnp.swapaxes(Y, 1, 2) @ M))
 
 
 @functools.partial(jax.jit, static_argnames=("h1", "transpose", "vec"))
@@ -634,12 +637,12 @@ class SegmentedBandedQR(QRSolver):
             np.arange(nloc_max)[None, :] < seg_ncols_a[:, None]
         )
         bot_idx = seg_ncols_a[:, None] + np.arange(rbot_max)[None, :]
-        self._bot_idx = jnp.asarray(np.minimum(bot_idx, max_seg_rows - 1))
+        self._bot_idx = _imap(np.minimum(bot_idx, max_seg_rows - 1))
         self._bot_valid = jnp.asarray(
             np.arange(rbot_max)[None, :] < np.asarray(rbot)[:, None]
         )
         # x2 window per segment: x2seg[s, j] = x2[(s-1)o + j] (zero out of range)
-        self._x2_idx = jnp.asarray(
+        self._x2_idx = _imap(
             np.arange(S)[:, None] * o + np.arange(2 * o)[None, :]
         )
         self._seg_row0_arr = np.asarray(self._seg_row0)
@@ -658,13 +661,13 @@ class SegmentedBandedQR(QRSolver):
         for s in range(S):
             n = rbot[s] - 2 * o
             rp[s, :n] = self._nbot2 + int(cum_rest[s]) + np.arange(n)
-        self._rbot_gather = jnp.asarray(rg)
+        self._rbot_gather = _imap(rg)
         self._rbot_valid = jnp.asarray(rg < self._nbot)
         # lane-major twins for the fused solve's SoA bottom apply
         # (rows in sublanes, segments in lanes — matches the SoA Yb store)
-        self._rbot_gather_t = jnp.asarray(np.ascontiguousarray(rg.T))
+        self._rbot_gather_t = _imap(rg.T)
         self._rbot_valid_t = jnp.asarray(np.ascontiguousarray((rg < self._nbot).T))
-        self._rest_pos = jnp.asarray(rp)
+        self._rest_pos = _imap(rp)
         self._prepare_pallas_gate()
         self._prepare_p2_gate()
 
@@ -1068,7 +1071,7 @@ class SegmentedBandedQR(QRSolver):
             n = self._seg_rows[s]
             gather[s, :n] = self._seg_row0[s] + np.arange(n)
             valid[s, :n] = True
-        self._seg_gather = jnp.asarray(gather)
+        self._seg_gather = _imap(gather)
         self._seg_valid = jnp.asarray(valid)
         # output reordering: all segments' R-rows (n_loc each) first, then rest
         order = []
@@ -1078,8 +1081,8 @@ class SegmentedBandedQR(QRSolver):
             order.extend(
                 range(self._seg_row0[s] + self._seg_ncols[s], self._seg_row0[s] + self._seg_rows[s])
             )
-        self._row_order = jnp.asarray(np.asarray(order, dtype=np.int64))
-        self._row_order_inv = jnp.asarray(np.argsort(np.asarray(order)))
+        self._row_order = _imap(order)
+        self._row_order_inv = _imap(np.argsort(np.asarray(order)))
 
     def _apply_left_qt(self, v):
         """blockdiag(Q_sᵀ) v, reordered so R-space rows come first."""
@@ -1129,20 +1132,24 @@ class SegmentedBandedQR(QRSolver):
         output rows: chain coordinates (R2 rows first) then pass-through."""
         o = self._overlap
         k = v2.shape[1]
+        # SoA throughout ([rbot, k, S], matching the Yb store): transposing
+        # Yb to AoS would materialize its 128/(2o)-fold lane-padded form
         w = jnp.where(
-            self._rbot_valid[..., None],
-            v2[jnp.clip(self._rbot_gather, 0, self._nbot - 1)],
+            self._rbot_valid_t[:, None, :],
+            jnp.moveaxis(
+                v2[jnp.clip(self._rbot_gather_t, 0, self._nbot - 1)], 1, 2
+            ),
             jnp.zeros((), v2.dtype),
-        )  # [S, rbot_max, k]
-        # _Yb is stored SoA ([rbot, 2o, S]); the protocol path pays one
-        # transpose — the fused solve path never does
-        w = _batched_wy(jnp.transpose(self._Yb, (2, 0, 1)), self._Tb, w, True)
-        z = self._chain_seq.apply_qt(w[:, : 2 * o].reshape(self._nbot2, k))
+        )  # [rbot_max, k, S]
+        w = _batched_wy_soa(self._Yb, self._Tb, w, True)
+        z = self._chain_seq.apply_qt(
+            jnp.moveaxis(w[: 2 * o], 2, 0).reshape(self._nbot2, k)
+        )
         out = jnp.zeros((self._nbot, k), v2.dtype)
         out = out.at[: self._nbot2].set(z)
         if self._rbot_max > 2 * o:
             out = out.at[self._rest_pos.reshape(-1)].set(
-                w[:, 2 * o :].reshape(-1, k), mode="drop"
+                jnp.moveaxis(w[2 * o :], 2, 0).reshape(-1, k), mode="drop"
             )
         return out
 
@@ -1160,10 +1167,10 @@ class SegmentedBandedQR(QRSolver):
             w = jnp.concatenate([z, rest], axis=1)
         else:
             w = z
-        w = _batched_wy(jnp.transpose(self._Yb, (2, 0, 1)), self._Tb, w, False)
+        w = _batched_wy_soa(self._Yb, self._Tb, jnp.moveaxis(w, 0, 2), False)
         out = jnp.zeros((self._nbot, k), v2.dtype)
         return out.at[self._rbot_gather.reshape(-1)].set(
-            w.reshape(-1, k), mode="drop"
+            jnp.moveaxis(w, 2, 0).reshape(-1, k), mode="drop"
         )
 
     # --- QRSolver interface -----------------------------------------------------
@@ -1199,7 +1206,7 @@ class SegmentedBandedQR(QRSolver):
             n = self._seg_ncols[s]
             cg[s, :n] = self._seg_col0[s] + np.arange(n)
             cv[s, :n] = True
-        self._col_gather = jnp.asarray(cg)
+        self._col_gather = _imap(cg)
         self._col_valid = jnp.asarray(cv)
 
     def solve_r(self, y: jnp.ndarray) -> jnp.ndarray:
