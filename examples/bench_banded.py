@@ -67,7 +67,10 @@ def bench(qr, mat, b, reps):
         for mk in mats[:K]:
             qr.compute(mk)
         inner = qr._delegate if getattr(qr, "_delegate", None) is not None else qr
-        _fetch_scalar(inner._r_panels if hasattr(inner, "_r_panels") else inner.r_panels)
+        rp = getattr(inner, "_r_panels", None)  # segmented: SoA store
+        if rp is None:  # plain banded: flattened store (avoid the padded view)
+            rp = getattr(inner, "_r_panels_f", inner.r_panels)
+        _fetch_scalar(rp)
         return time.perf_counter() - t0
 
     run_fac(1)

@@ -17,7 +17,6 @@ fused product (/root/reference/src/QRKit/SparseBlockYTY.h:69-144, BlockYTY.h):
 """
 from __future__ import annotations
 
-import dataclasses
 import functools
 
 import jax
@@ -38,7 +37,7 @@ def _to_sparse_q(seq, chunk: int = 512, drop_tol: float = 0.0):
 
     m = seq.m
     rows_l, cols_l, vals_l = [], [], []
-    eye_slab = jnp.eye(m, min(chunk, m), dtype=seq.Y.dtype)
+    eye_slab = jnp.eye(m, min(chunk, m), dtype=seq.Yf.dtype)
     for c0 in range(0, m, chunk):
         k = min(chunk, m - c0)
         # columns e_{c0}..e_{c0+k-1}; no wraparound since i < k <= m - c0
@@ -80,34 +79,49 @@ def _apply_seq(seq: "CompactWYSeq", M: jnp.ndarray, transpose: bool, vec: bool):
 
 
 @jax.tree_util.register_pytree_node_class
-@dataclasses.dataclass
 class CompactWYSeq:
     """Stacked compact-WY blocks: Y [nb, W, C], T [nb, C, C], start [nb].
 
     ``m`` is the logical operand length (static).  Window height W and panel
     width C are the padded maxima over blocks; padding rows/cols of Y and T are
     zero so padded blocks act as identity on the padded region.
+
+    Like :class:`TwoSegmentWYSeq`, the pytree LEAVES store Y and T flattened
+    per block so a jit-boundary crossing does not materialize the
+    (128/C)-fold lane-padded [nb, W, C] layout; the 3-D views are reshapes
+    for use inside jitted code (and the cold concat/export paths).
     """
 
-    Y: jnp.ndarray
-    T: jnp.ndarray
-    start: jnp.ndarray
-    m: int
+    def __init__(self, Y, T, start, m: int, *, W: int = None, C: int = None):
+        if W is None:  # construction form (3-D): flatten for the stored leaves
+            W, C = Y.shape[1], Y.shape[2]
+            Y = Y.reshape(Y.shape[0], W * C)
+            T = T.reshape(T.shape[0], C * C)
+        self.Yf, self.Tf, self.start = Y, T, start
+        self.m, self.W, self.C = m, W, C
+
+    @property
+    def Y(self) -> jnp.ndarray:
+        return self.Yf.reshape(-1, self.W, self.C)
+
+    @property
+    def T(self) -> jnp.ndarray:
+        return self.Tf.reshape(-1, self.C, self.C)
 
     def tree_flatten(self):
-        return (self.Y, self.T, self.start), (self.m,)
+        return (self.Yf, self.Tf, self.start), (self.m, self.W, self.C)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, m=aux[0])
+        return cls(*children, m=aux[0], W=aux[1], C=aux[2])
 
     @property
     def num_blocks(self) -> int:
-        return self.Y.shape[0]
+        return self.Yf.shape[0]
 
     @property
     def window(self) -> int:
-        return self.Y.shape[1]
+        return self.W
 
     def _apply(self, M: jnp.ndarray, transpose: bool) -> jnp.ndarray:
         return _apply_seq(self, M, transpose, M.ndim == 1)
@@ -123,7 +137,7 @@ class CompactWYSeq:
     def to_dense_q(self) -> jnp.ndarray:
         """Explicit dense Q [m, m] (parity/testing; the reference materializes
         sparse Q the same way, via Q * I — BandedBlockedSparseQR.h:741-765)."""
-        return self.apply_q(jnp.eye(self.m, dtype=self.Y.dtype))
+        return self.apply_q(jnp.eye(self.m, dtype=self.Yf.dtype))
 
     def to_sparse_q(self, chunk: int = 512, drop_tol: float = 0.0):
         """Explicit *sparse* Q via chunked Q·I — see :func:`_to_sparse_q`.
@@ -256,7 +270,6 @@ def _apply_two_seg_cols(seq: "TwoSegmentWYSeq", M: jnp.ndarray, transpose: bool,
 
 
 @jax.tree_util.register_pytree_node_class
-@dataclasses.dataclass
 class TwoSegmentWYSeq:
     """Compact-WY sequence stored in *panel coordinates* with a 2-segment
     gather/scatter — the direct analog of the reference's
@@ -271,26 +284,46 @@ class TwoSegmentWYSeq:
     row/column offset gap, i.e. O(chain length) for a banded chain, making the
     Y store O(nb²) — this store is O(nb · A · C) and each scan step touches
     O(A) rows instead of O(window).
+
+    The pytree LEAVES hold Y and T flattened per block ([nb, A·C] /
+    [nb, C·C]): a [nb, A, C] leaf crossing a jit boundary gets the default
+    tiled layout, which pads the C ≪ 128 minor dim ~(128/C)-fold in HBM —
+    ~15× the factor bytes written per factorize and re-read per solve.  The
+    3-D views (:attr:`Y` / :attr:`T`) are reshapes; access them only inside
+    jitted code, where the layout is the compiler's business.
     """
 
-    Y: jnp.ndarray  # [nb, A, C] panel-coordinate reflectors
-    T: jnp.ndarray  # [nb, C, C]
-    s1: jnp.ndarray  # [nb] carry-segment start (R positions = block col offset)
-    s2: jnp.ndarray  # [nb] block-segment start (block row offset)
-    split: jnp.ndarray  # [nb] carry pad (panel rows below this are block rows)
-    h1: int  # static carry-segment slice height (>= max split)
-    m: int  # logical operand length
+    def __init__(self, Y, T, s1, s2, split, *, h1: int, m: int,
+                 A: int = None, C: int = None):
+        if A is None:  # construction form (3-D): flatten for the stored leaves
+            A, C = Y.shape[1], Y.shape[2]
+            Y = Y.reshape(Y.shape[0], A * C)
+            T = T.reshape(T.shape[0], C * C)
+        self.Yf, self.Tf = Y, T
+        self.s1, self.s2, self.split = s1, s2, split
+        self.h1, self.m, self.A, self.C = h1, m, A, C
+
+    @property
+    def Y(self) -> jnp.ndarray:
+        return self.Yf.reshape(-1, self.A, self.C)
+
+    @property
+    def T(self) -> jnp.ndarray:
+        return self.Tf.reshape(-1, self.C, self.C)
 
     def tree_flatten(self):
-        return (self.Y, self.T, self.s1, self.s2, self.split), (self.h1, self.m)
+        return (
+            (self.Yf, self.Tf, self.s1, self.s2, self.split),
+            (self.h1, self.m, self.A, self.C),
+        )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, h1=aux[0], m=aux[1])
+        return cls(*children, h1=aux[0], m=aux[1], A=aux[2], C=aux[3])
 
     @property
     def num_blocks(self) -> int:
-        return self.Y.shape[0]
+        return self.Yf.shape[0]
 
     def _apply(self, M: jnp.ndarray, transpose: bool) -> jnp.ndarray:
         vec = M.ndim == 1
@@ -306,7 +339,7 @@ class TwoSegmentWYSeq:
         return self._apply(M, transpose=True)
 
     def to_dense_q(self) -> jnp.ndarray:
-        return self.apply_q(jnp.eye(self.m, dtype=self.Y.dtype))
+        return self.apply_q(jnp.eye(self.m, dtype=self.Yf.dtype))
 
     def to_sparse_q(self, chunk: int = 512, drop_tol: float = 0.0):
         return _to_sparse_q(self, chunk, drop_tol)

@@ -448,18 +448,29 @@ class BandedBlockedQR(QRSolver):
 
             @jax.jit
             def _fac(data, gmap, geom):
-                return banded_factorize(
+                seq, Vs = banded_factorize(
                     _gather_panels(data, gmap), geom,
                     max_active=mA, max_cols=mC, max_carry=mCa, max_emit=mE, m=m,
                 )
+                # R panels stored flattened per block: a [nb, me, mc] jit
+                # output gets the default tiled layout, padding the mc << 128
+                # minor dim ~(128/mc)-fold in HBM (the WY factors inside seq
+                # already store flattened, see TwoSegmentWYSeq)
+                return seq, Vs.reshape(Vs.shape[0], -1)
 
             self._fac_fn = _fac
         data_dev = jnp.asarray(np.asarray(pmat.data, dtype))
-        self.q_seq, self.r_panels = self._fac_fn(
+        self.q_seq, self._r_panels_f = self._fac_fn(
             data_dev, self._panel_gmap, self._geom_dev
         )
         self._set_success()
         return self
+
+    @property
+    def r_panels(self) -> jnp.ndarray:
+        """R panels as [nb, max_emit, max_cols] (host exports / protocol
+        paths; the fused solve consumes the flattened store directly)."""
+        return self._r_panels_f.reshape(-1, self._max_emit, self._max_cols)
 
     def r_diagonal(self) -> jnp.ndarray:
         """diag(R) scattered from the per-block R panels (emit rows partition
@@ -539,16 +550,16 @@ class BandedBlockedQR(QRSolver):
             n, me, mc = self._ncols, self._max_emit, self._max_cols
 
             @jax.jit
-            def _sol(q_seq, r_panels, meta, b):
+            def _sol(q_seq, r_panels_f, meta, b):
                 cols_d, emit_d, ncols_d = meta
                 y = q_seq.apply_qt(b)
                 return banded_solve_r(
-                    r_panels, cols_d, emit_d, ncols_d, y[:n],
-                    max_emit=me, max_cols=mc, n=n,
+                    r_panels_f.reshape(-1, me, mc), cols_d, emit_d, ncols_d,
+                    y[:n], max_emit=me, max_cols=mc, n=n,
                 )
 
             self._sol_fn = _sol
-        return self._sol_fn(self.q_seq, self.r_panels, self._solve_meta, b)
+        return self._sol_fn(self.q_seq, self._r_panels_f, self._solve_meta, b)
 
     def rows_permutation(self) -> Permutation:
         return self._row_perm

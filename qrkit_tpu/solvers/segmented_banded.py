@@ -859,16 +859,18 @@ class SegmentedBandedQR(QRSolver):
 
         from ..parallel.mesh import shard_leading_axis
 
-        (self._Yws, self._Ts, self._r_panels,
-         self._Tb, self._j2_top) = shard_leading_axis(
-            (self._Yws, self._Ts, self._r_panels,
-             self._Tb, self._j2_top),
-            self.mesh, self.axis,
+        (self._Tb, self._j2_top) = shard_leading_axis(
+            (self._Tb, self._j2_top), self.mesh, self.axis,
         )
-        # Yb is SoA: the segment axis sits LAST (in lanes)
-        self._Yb = jax.device_put(
-            self._Yb, NamedSharding(self.mesh, P(None, None, self.axis))
-        )
+        # SoA stores: the segment axis sits LAST (in lanes)
+        def _last(a):
+            spec = P(*([None] * (a.ndim - 1) + [self.axis]))
+            return jax.device_put(a, NamedSharding(self.mesh, spec))
+
+        self._Yws = _last(self._Yws)
+        self._Ts = _last(self._Ts)
+        self._Yb = _last(self._Yb)
+        self._r_panels = _last(self._r_panels)
 
     def _get_factorize_fn(self, pallas_on: bool = False):
         """Per-plan jitted device pipeline: segment chains (fused Pallas
@@ -1023,7 +1025,18 @@ class SegmentedBandedQR(QRSolver):
             chain_seq, chain_r = banded_factorize(
                 pan, meta["chain_geom"], **ckw, m=nbot2
             )
-            return Yws, Ts, Vs, j2_top, Yb, Tb, chain_seq, chain_r
+            # STORED factor layout is SoA ([L, ma, mc, S] / [L, mc, mc, S],
+            # segment axis last): a jit OUTPUT gets the default tiled layout,
+            # and the AoS [S, L, ma, mc] form with mc ≪ 128 minor is
+            # ~(128/mc)-fold lane-padded in HBM — the factors are written
+            # once per factorize and read by every solve, so the store/load
+            # layout matters even though the in-program uses above keep
+            # compiler-chosen internal layouts.  Consumers transpose back
+            # inside their own jitted programs.
+            return (
+                jnp.moveaxis(Yws, 0, -1), jnp.moveaxis(Ts, 0, -1),
+                jnp.moveaxis(Vs, 0, -1), j2_top, Yb, Tb, chain_seq, chain_r,
+            )
 
         self._fac_fn = fac
         self._fac_mode = pallas_on
@@ -1033,7 +1046,10 @@ class SegmentedBandedQR(QRSolver):
         """diag(R) in P_split column order: interior panels then the boundary R2."""
         if self._delegate is not None:
             return self._delegate.r_diagonal()
-        d = jnp.diagonal(self._r_panels, axis1=2, axis2=3)  # [S, L, k]
+        # SoA store [L, me, mc, S]: diagonal then put segments first
+        d = jnp.swapaxes(
+            jnp.diagonal(self._r_panels, axis1=1, axis2=2), 0, 1
+        )  # [S, L, k]
         k = d.shape[2]
         j = jnp.arange(k)
         pos = (
@@ -1096,7 +1112,8 @@ class SegmentedBandedQR(QRSolver):
             jnp.zeros((), v2.dtype),
         )  # [S, R, k]
         out = _segment_apply(
-            self._Yws, self._Ts, self._starts, self._rows2d, self._carry2d,
+            jnp.moveaxis(self._Yws, -1, 0), jnp.moveaxis(self._Ts, -1, 0),
+            self._starts, self._rows2d, self._carry2d,
             vs, self._kw["max_carry"], True, False,
         )
         flat = out.reshape(self.S * self._max_seg_rows, k)
@@ -1118,7 +1135,8 @@ class SegmentedBandedQR(QRSolver):
             jnp.zeros((), v2.dtype),
         )
         out = _segment_apply(
-            self._Yws, self._Ts, self._starts, self._rows2d, self._carry2d,
+            jnp.moveaxis(self._Yws, -1, 0), jnp.moveaxis(self._Ts, -1, 0),
+            self._starts, self._rows2d, self._carry2d,
             vs, self._kw["max_carry"], False, False,
         )
         flat = out.reshape(self.S * self._max_seg_rows, k)
@@ -1256,7 +1274,7 @@ class SegmentedBandedQR(QRSolver):
         xs = jax.vmap(one)(
             xpad0,
             ypad,
-            self._r_panels,
+            jnp.moveaxis(self._r_panels, -1, 0),
             self._starts,
             self._emit_d,
             self._ncols_d,
@@ -1322,6 +1340,11 @@ class SegmentedBandedQR(QRSolver):
         @jax.jit
         def sol(Yws, Ts, Yb, Tb, chain_seq, chain_r, j2_top, r_panels, b, meta):
             dt = b.dtype
+            # stored factors arrive SoA (segment axis last, unpadded store);
+            # the AoS working form here is jit-internal, compiler-laid-out
+            Yws = jnp.moveaxis(Yws, -1, 0)
+            Ts = jnp.moveaxis(Ts, -1, 0)
+            r_panels = jnp.moveaxis(r_panels, -1, 0)
             seg_gather, seg_valid = meta["seg_gather"], meta["seg_valid"]
             col_gather, col_valid = meta["col_gather"], meta["col_valid"]
             # Q1ᵀ b (per-segment), lane-major ([S, 1, rows] — a [rows, 1]
@@ -1397,7 +1420,7 @@ class SegmentedBandedQR(QRSolver):
             return self._delegate.matrix_r_dense()
         n = self.cols
         m1, m2, o = self._m1, self._m2, self._overlap
-        rp = np.asarray(self._r_panels)
+        rp = np.moveaxis(np.asarray(self._r_panels), -1, 0)  # -> [S, L, me, mc]
         R = np.zeros((self._nrows, n), dtype=rp.dtype)
         for s in range(self.S):
             base = int(self._seg_col0[s])
@@ -1438,7 +1461,8 @@ class SegmentedBandedQR(QRSolver):
         m1, m2, o = self._m1, self._m2, self._overlap
         trips = []
 
-        rp = np.asarray(self._r_panels)  # [S, L, max_emit, max_cols]
+        # SoA store; row-major [S, L, max_emit, max_cols] for the triplet build
+        rp = np.moveaxis(np.asarray(self._r_panels), -1, 0)
         base = (np.asarray(self._seg_col0)[:, None] + self._loc_geom["cols"])[
             :, :, None, None
         ]
