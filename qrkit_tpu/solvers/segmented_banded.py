@@ -396,6 +396,8 @@ class SegmentedBandedQR(QRSolver):
                 delattr(self, attr)
         self._panel_gmap = None
         self._slab_gmap = None
+        self._panel_fast = None
+        self._slab_fast = None
         self._prepare_segmentation()
         self._analysis_ok = True
         return self
@@ -636,8 +638,10 @@ class SegmentedBandedQR(QRSolver):
         self._top_valid = jnp.asarray(
             np.arange(nloc_max)[None, :] < seg_ncols_a[:, None]
         )
-        bot_idx = seg_ncols_a[:, None] + np.arange(rbot_max)[None, :]
-        self._bot_idx = _imap(np.minimum(bot_idx, max_seg_rows - 1))
+        # each segment's bottom rows are the contiguous run starting right
+        # after its local columns — the factorize cuts them with one batched
+        # dynamic_slice (element gathers are ~150M elem/s on TPU)
+        self._bot_starts = _imap(np.minimum(seg_ncols_a, max_seg_rows))
         self._bot_valid = jnp.asarray(
             np.arange(rbot_max)[None, :] < np.asarray(rbot)[:, None]
         )
@@ -800,8 +804,19 @@ class SegmentedBandedQR(QRSolver):
             # keyed on the stored-nonzero LAYOUT, not just the plan — see
             # BandedBlockedQR.compute
             self._gmap_fp = fp
+            self._fac_fn = None  # extraction strategy is baked in statically
             gm = pmat.panels_gather_map(self._block_list, mR, max_cols)
-            self._panel_gmap = jnp.asarray(gm)
+            # XLA's TPU element gather runs at ~150M elem/s — 29 ms for the
+            # 4.2M-entry panel map at 20k blocks, the single largest stage of
+            # the factorize.  On row-sorted banded layouts every panel's
+            # stored entries are ONE contiguous data run at the panel's own
+            # linear offset (delta 0), except the leading-overlap-dropping
+            # first panel of segments 1.., whose run is shifted by one shared
+            # delta.  Detect that on the host (once per layout) and extract
+            # with a reshape + boolean mask + one static slice instead of the
+            # gather — measured reshape path: 0.6 ms for the same bytes.
+            self._panel_fast = self._detect_panel_fast(gm, pmat.nnz)
+            self._panel_gmap = None if self._panel_fast else _imap(gm)
             col_pos = np.full(self._ncols, -1, dtype=np.int64)
             col_pos[self._bcols_idx] = np.arange(self._m2)
             row_ids = np.repeat(np.arange(self._nrows), np.diff(pmat.indptr))
@@ -824,10 +839,27 @@ class SegmentedBandedQR(QRSolver):
             # (a [seg_rows, 2o] layout pads the 2o minor dim 16× to 128).
             # Only the transposed form goes to the device; the row-major gm
             # stays host-side (the built-flag keeps a cheap sentinel).
+            # Boundary columns are touched only by rows NEAR the seams (the
+            # first/last blocks of each segment), so ~97% of the map is
+            # sentinel; gather just two w-row edge windows and assemble the
+            # interior as literal zeros — the full-map element gather was
+            # 22 ms at 20k blocks, the windows ~1.5 ms.
             self._slab_gmap = True
-            self._slab_gmap_t = jnp.asarray(
-                np.ascontiguousarray(gm.transpose(0, 2, 1))
-            )
+            valid_row = (gm < pmat.nnz).any(axis=2)  # [S, seg_rows]
+            Rr = self._max_seg_rows
+            ridx = np.arange(Rr)[None, :]
+            dist = np.where(valid_row, np.minimum(ridx + 1, Rr - ridx), 0)
+            w = int(dist.max()) if valid_row.any() else 0
+            if 0 < 2 * w <= Rr // 2:
+                self._slab_fast = dict(
+                    w=w,
+                    lead_t=_imap(gm[:, :w, :].transpose(0, 2, 1)),
+                    tail_t=_imap(gm[:, Rr - w :, :].transpose(0, 2, 1)),
+                )
+                self._slab_gmap_t = None
+            else:
+                self._slab_fast = None
+                self._slab_gmap_t = _imap(gm.transpose(0, 2, 1))
 
         # --- device gather + phases 1-3 as ONE jitted dispatch ----------------------
         # eager glue between the jitted stages cost ~40 per-primitive dispatch
@@ -837,8 +869,7 @@ class SegmentedBandedQR(QRSolver):
         fac = self._get_factorize_fn(pallas_on)
         (self._Yws, self._Ts, self._r_panels, self._j2_top,
          self._Yb, self._Tb, self._chain_seq, self._chain_r) = fac(
-            jnp.asarray(np.asarray(pmat.data, dtype)),
-            self._panel_gmap, self._slab_gmap_t, self._fac_meta,
+            jnp.asarray(np.asarray(pmat.data, dtype)), self._fac_meta
         )
         if self.mesh is not None:
             self._place_on_mesh()
@@ -872,6 +903,45 @@ class SegmentedBandedQR(QRSolver):
         self._Yb = _last(self._Yb)
         self._r_panels = _last(self._r_panels)
 
+    def _detect_panel_fast(self, gm: np.ndarray, nnz: int):
+        """Host-side gather-free panel-extraction detection (once per layout).
+
+        Recognized form: every panel's stored entries sit at a constant offset
+        ``delta`` from their own linear position in a ``[S*L, mR, mc]``
+        row-major layout of the data vector, with ``delta == 0`` everywhere
+        except possibly the first panel of each segment (the dropped leading
+        overlap shifts those by one shared value ``d0``).  Row-sorted banded
+        layouts — every LM-pattern Jacobian built block-row-major — satisfy
+        this; row-permuted/analyzed layouts fall back to the element gather.
+        Returns ``None`` or ``dict(mask, d0, l0shift)``.
+        """
+        S, L = self.S, self.L
+        g = gm.reshape(S * L, -1).astype(np.int64)
+        valid = g != nnz
+        lin = np.arange(g.size, dtype=np.int64).reshape(g.shape)
+        delta = np.where(valid, g - lin, 0)
+        big = np.iinfo(np.int64)
+        dmax = np.where(valid, delta, big.min).max(axis=1)
+        dmin = np.where(valid, delta, big.max).min(axis=1)
+        has = valid.any(axis=1)
+        if not bool((~has | (dmax == dmin)).all()):
+            return None
+        dval = np.where(has, dmax, 0).reshape(S, L)
+        if bool((dval[:, 1:] != 0).any()) or dval[0, 0] != 0:
+            return None
+        nz = np.unique(dval[:, 0][dval[:, 0] != 0])
+        if nz.size > 1:
+            return None
+        d0 = int(nz[0]) if nz.size else 0
+        ew = gm.shape[1] * gm.shape[2]
+        if d0 and not (0 < d0 <= (L - 1) * ew):
+            return None
+        return dict(
+            mask=jnp.asarray(valid.reshape(gm.shape)),
+            d0=d0,
+            l0shift=jnp.asarray(dval[:, 0] != 0) if d0 else None,
+        )
+
     def _get_factorize_fn(self, pallas_on: bool = False):
         """Per-plan jitted device pipeline: segment chains (fused Pallas
         kernel or vmapped XLA scan) → lane-major slab Qᵀ → CAQR-compressed
@@ -901,9 +971,21 @@ class SegmentedBandedQR(QRSolver):
             carry_d=self._carry_d, nrows_d=self._nrows_d, starts=self._starts,
             colinc_d=self._colinc_d, carry2d=self._carry2d,
             active_d=self._active_d, rows2d=self._rows2d,
-            top_valid=self._top_valid, bot_idx=self._bot_idx,
+            top_valid=self._top_valid, bot_starts=self._bot_starts,
             bot_valid=self._bot_valid, chain_geom=self._chain_geom_dev,
         )
+        pf, sf = self._panel_fast, self._slab_fast
+        if pf is not None:
+            self._fac_meta["panel_mask"] = pf["mask"]
+            if pf["d0"]:
+                self._fac_meta["panel_l0shift"] = pf["l0shift"]
+        else:
+            self._fac_meta["panel_gmap"] = self._panel_gmap
+        if sf is not None:
+            self._fac_meta["slab_lead_t"] = sf["lead_t"]
+            self._fac_meta["slab_tail_t"] = sf["tail_t"]
+        else:
+            self._fac_meta["slab_gmap_t"] = self._slab_gmap_t
         if pallas_on:
             self._fac_meta["act_soa"] = self._act_soa
         grouped = self._chain_regroup is not None
@@ -916,8 +998,64 @@ class SegmentedBandedQR(QRSolver):
             self._fac_meta["s2u"] = self._s2u
             self._fac_meta["spu"] = self._spu
 
+        mR = self._mRloc
+        ew = mR * max_cols
+        need = S * L * ew
+
+        if pf is not None:
+            d0 = pf["d0"]
+
+            def _extract_panels(pad, meta):
+                # gather-free: the data vector IS the panel tensor up to a
+                # boolean mask (and one static slice for the shifted first
+                # panels of segments 1..); see _detect_panel_fast
+                data = pad[:-1]
+                flat = (
+                    jnp.concatenate(
+                        [data, jnp.zeros((need - data.shape[0],), data.dtype)]
+                    )
+                    if data.shape[0] < need
+                    else data[:need]
+                )
+                base = jnp.where(
+                    meta["panel_mask"],
+                    flat.reshape(S * L, mR, max_cols),
+                    jnp.zeros((), data.dtype),
+                )
+                if d0:
+                    seg = flat.reshape(S, L * ew)
+                    l0 = jax.lax.slice(seg, (0, d0), (S, d0 + ew)).reshape(
+                        S, mR, max_cols
+                    )
+                    bs = base.reshape(S, L, mR, max_cols)
+                    m0 = meta["panel_mask"].reshape(S, L, mR, max_cols)[:, 0]
+                    sel = meta["panel_l0shift"][:, None, None] & m0
+                    l0 = jnp.where(sel, l0, bs[:, 0])
+                    base = bs.at[:, 0].set(l0).reshape(S * L, mR, max_cols)
+                return base
+
+        else:
+
+            def _extract_panels(pad, meta):
+                return pad[meta["panel_gmap"]]  # [S*L, mR, max_cols]
+
+        if sf is not None:
+            w_, mid = sf["w"], self._max_seg_rows - 2 * sf["w"]
+
+            def _extract_slab(pad, meta):
+                lead = pad[meta["slab_lead_t"]]
+                tail = pad[meta["slab_tail_t"]]
+                return jnp.concatenate(
+                    [lead, jnp.zeros((S, 2 * o, mid), pad.dtype), tail], axis=2
+                )
+
+        else:
+
+            def _extract_slab(pad, meta):
+                return pad[meta["slab_gmap_t"]]
+
         def _phase1_xla(pad, meta):
-            pj = pad[meta["panel_gmap"]]  # [S*L, mR, max_cols]
+            pj = _extract_panels(pad, meta)  # [S*L, mR, max_cols]
             shifted = _shift_panels(
                 pj, meta["carry_d"], meta["nrows_d"], kw["max_active"]
             ).reshape(S, L, kw["max_active"], max_cols)
@@ -938,7 +1076,7 @@ class SegmentedBandedQR(QRSolver):
             npad = self._pallas_npad
 
             def _phase1(pad, meta):
-                pj = pad[meta["panel_gmap"]]  # [S*L, mR, max_cols]
+                pj = _extract_panels(pad, meta)  # [S*L, mR, max_cols]
                 shifted = _shift_panels(
                     pj, meta["carry_d"], meta["nrows_d"], ma
                 ).reshape(S, L, ma * max_cols)
@@ -965,13 +1103,13 @@ class SegmentedBandedQR(QRSolver):
         else:
             _phase1 = _phase1_xla
 
+        rbm = self._rbot_max
+
         @jax.jit
-        def fac(data, gmap, slab_gmap_t, meta):
+        def fac(data, meta):
             dtype = data.dtype
             pad = jnp.concatenate([data, jnp.zeros((1,), dtype)])
-            meta = dict(meta)
-            meta["panel_gmap"] = gmap
-            slab_t = pad[slab_gmap_t]  # [S, 2o, seg_rows(pad)] lane-major
+            slab_t = _extract_slab(pad, meta)  # [S, 2o, seg_rows(pad)] lane-major
             Yws, Ts, Vs = _phase1(pad, meta)
             qt_slab = (
                 _apply_cols_split(Yws, Ts, meta, slab_t, h1, True, nuni)
@@ -989,19 +1127,23 @@ class SegmentedBandedQR(QRSolver):
                 qt_slab[:, :, :nloc_max],
                 jnp.zeros((), dtype),
             )
-            bot_idx = meta["bot_idx"]  # [S, rbot_max]
             # bottom rows cut straight from the LANE-MAJOR slab: an AoS
             # [S, rbot, 2o] bot is 128/(2o)-fold lane-padded and the vmapped
             # per-segment QR paid that on every column pass (37 ms of the
             # 20k-block factorize); instead keep rows in lanes and run the
-            # batched SoA panel QR with the segment axis in lanes
-            bot = jnp.take_along_axis(
-                qt_slab,
-                jnp.broadcast_to(
-                    bot_idx[:, None, :], (S, 2 * o, bot_idx.shape[1])
-                ),
-                axis=2,
-            )  # [S, 2o, rbot_max]
+            # batched SoA panel QR with the segment axis in lanes.  Each
+            # segment's bottom rows are a CONTIGUOUS run starting at its
+            # local column count (by construction, _prepare_segmentation), so
+            # the cut is one batched dynamic_slice — the take_along_axis
+            # element gather here was 28 ms of the 20k-block factorize.
+            qs_pad = jnp.concatenate(
+                [qt_slab, jnp.zeros((S, 2 * o, rbm), dtype)], axis=2
+            )
+            bot = jax.vmap(
+                lambda sl, st: jax.lax.dynamic_slice(
+                    sl, (jnp.zeros((), st.dtype), st), (2 * o, rbm)
+                )
+            )(qs_pad, meta["bot_starts"])  # [S, 2o, rbot_max]
             bot = jnp.where(meta["bot_valid"][:, None, :], bot, jnp.zeros((), dtype))
             # chain block 0 has no leading boundary: its local columns are the
             # trailing slab columns (the wrapped leading part is zero)

@@ -106,3 +106,52 @@ def test_segmented_grouped_chain_matches_contract(rng):
     b = qr.rows_permutation().apply(dense @ x_true)
     x = np.asarray(qr.solve(jnp.asarray(b)))
     assert np.allclose(x, x_true, atol=1e-7), np.abs(x - x_true).max()
+
+
+def _bench_shape_banded(nb, rng, br=21, bc=10, ov=4):
+    """Row-sorted banded layout in the README benchmark's shape (21x10
+    blocks overlapping 4 cols) — the layout whose stored entries are one
+    contiguous run per interior panel."""
+    from qrkit_tpu.sparse import SparseCSR
+
+    step = bc - ov
+    ncols = step * nb + ov
+    i = np.arange(nb)[:, None, None]
+    r = np.arange(br)[None, :, None]
+    c = np.arange(bc)[None, None, :]
+    rows = np.broadcast_to(i * br + r, (nb, br, bc)).ravel()
+    cols = np.broadcast_to(i * step + c, (nb, br, bc)).ravel()
+    keep = cols < ncols
+    vals = rng.uniform(0.5, 5.0, size=rows.size)
+    return SparseCSR.from_triplets(
+        rows[keep], cols[keep], vals[keep], (br * nb, ncols)
+    )
+
+
+def test_gather_free_extraction_fast_paths(rng):
+    """Row-sorted banded layouts must take the gather-free panel/slab
+    extraction (reshape + mask + static slice; seam-window slab cut) — a
+    silent fallback to the element gather is a ~50x regression of the
+    factorize's extraction stage on TPU.  The 7x2 fixture's layout is NOT
+    run-contiguous per panel and must keep the gather fallback; both must
+    produce correct factors."""
+    mat = _bench_shape_banded(160, rng)
+    qr = SegmentedBandedQR(suggested_block_cols=10, segment_blocks=32).compute(mat)
+    assert qr._delegate is None
+    assert qr._panel_fast is not None  # d0-shifted contiguous-run form
+    assert qr._panel_fast["d0"] > 0
+    assert qr._slab_fast is not None  # seam-window slab cut
+    x_true = rng.normal(size=mat.ncols)
+    b = qr.rows_permutation().apply(mat.to_dense() @ x_true)
+    x = np.asarray(qr.solve(jnp.asarray(b)))
+    assert np.allclose(x, x_true, atol=1e-7), np.abs(x - x_true).max()
+
+    # gather fallback still taken and correct on a non-run-contiguous layout
+    spj = overlapping_block_diagonal_matrix(192, 672, rng, False)
+    qr2 = SegmentedBandedQR(suggested_block_cols=2, segment_blocks=8).compute(spj)
+    assert qr2._delegate is None
+    assert qr2._panel_fast is None
+    x_true = rng.normal(size=spj.ncols)
+    b = qr2.rows_permutation().apply(spj.to_dense() @ x_true)
+    x = np.asarray(qr2.solve(jnp.asarray(b)))
+    assert np.allclose(x, x_true, atol=1e-7), np.abs(x - x_true).max()
