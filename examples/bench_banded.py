@@ -76,6 +76,31 @@ def bench(qr, mat, b, reps):
     run_fac(1)
     fac = (run_fac(reps) - run_fac(1)) / (reps - 1)
 
+    def _r_store():
+        inner = qr._delegate if getattr(qr, "_delegate", None) is not None else qr
+        rp = getattr(inner, "_r_panels", None)
+        return rp if rp is not None else getattr(inner, "_r_panels_f", inner.r_panels)
+
+    # device-resident refactorize (factorize_values): the on-device LM
+    # pattern, where the Jacobian values are produced by a jitted function
+    # and never touch the host — isolates the solver's own device cost from
+    # the host astype + tunnel upload that dominate the host-fed number here
+    vals0 = jnp.asarray(np.asarray(mat.data, np.float32))
+    qr.factorize_values(vals0)
+    _fetch_scalar(_r_store())
+
+    def run_refac(K):
+        t0 = time.perf_counter()
+        v = vals0
+        for _ in range(K):
+            v = v * np.float32(1 + 1e-9)  # fresh on-device values per rep
+            qr.factorize_values(v)
+        _fetch_scalar(_r_store())
+        return time.perf_counter() - t0
+
+    run_refac(1)
+    refac = (run_refac(reps) - run_refac(1)) / (reps - 1)
+
     bs = [b * (1 + 1e-9 * (k + 1)) for k in range(reps)]
     x = qr.solve(b)
     _fetch_scalar(x)
@@ -89,7 +114,7 @@ def bench(qr, mat, b, reps):
 
     run_sol(1)
     sol = (run_sol(reps) - run_sol(1)) / (reps - 1)
-    return fac, sol, qr.solve(b)
+    return fac, refac, sol, qr.solve(b)
 
 
 def main():
@@ -120,7 +145,7 @@ def main():
         ("banded_plain", BandedBlockedQR(suggested_block_cols=BC)),
         ("banded_segmented", SegmentedBandedQR(suggested_block_cols=BC, segment_blocks=32)),
     ]:
-        fac, sol, x = bench(qr, mat, b, reps)
+        fac, refac, sol, x = bench(qr, mat, b, reps)
         resid = None
         if small:
             xh = np.asarray(x, dtype=np.float64)
@@ -129,6 +154,7 @@ def main():
             "solver": name,
             "nblocks": nb,
             "factorize_ms": round(fac * 1e3, 3),
+            "refactorize_device_ms": round(refac * 1e3, 3),
             "solve_ms": round(sol * 1e3, 3),
             "rel_err": resid,
             "backend": jax.default_backend(),

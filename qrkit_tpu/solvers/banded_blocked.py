@@ -434,6 +434,20 @@ class BandedBlockedQR(QRSolver):
                 )
             )
             self._gmap_fp = fp
+            # device-resident value path (factorize_values): cache the row
+            # permutation's effect on the VALUE vector (pattern-only) and the
+            # expected nnz, so refactorization from an on-device value vector
+            # needs zero host work
+            self._vals_nnz = mat.nnz
+            self._data_perm = (
+                None
+                if self._row_perm.is_identity()
+                else jnp.asarray(
+                    mat.row_perm_data_map(self._row_perm).astype(
+                        np.int32 if mat.nnz < 2**31 else np.int64
+                    )
+                )
+            )
         # per-factorize upload: ONLY the raw data vector (contiguous); panels
         # materialize on device through the cached gather map.  The gather +
         # shift + all scan chunks run as ONE jitted program per plan — the
@@ -462,6 +476,44 @@ class BandedBlockedQR(QRSolver):
         data_dev = jnp.asarray(np.asarray(pmat.data, dtype))
         self.q_seq, self._r_panels_f = self._fac_fn(
             data_dev, self._panel_gmap, self._geom_dev
+        )
+        self._set_success()
+        return self
+
+    def factorize_values(self, values) -> "BandedBlockedQR":
+        """Refactorize from a vector of stored-nonzero VALUES — the
+        analyzePattern/factorize split (BandedBlockedSparseQR.h:170-182)
+        taken to its device-resident conclusion.
+
+        One prior :meth:`compute` establishes the pattern, gather maps, and
+        compiled program; afterwards each refactorization needs only the
+        value vector, in the original matrix's stored-nonzero order
+        (``mat.data`` order, length ``mat.nnz``).  Pass a jax array that
+        already lives on device — e.g. produced by a jitted Jacobian — and
+        the refactorize does ZERO host work and ZERO host→device traffic.
+        Through a remote-accelerator tunnel that is the difference between
+        ~40 ms of device time and ~10× that in per-iteration value upload at
+        4.2M nnz; on co-located hosts it still skips the host-side dtype
+        conversion and PCIe copy.  A host NumPy array is also accepted (it
+        uploads, exactly like ``compute``)."""
+        if not self._analysis_ok or self._fac_fn is None or self._panel_gmap is None:
+            raise ValueError(
+                "factorize_values requires a prior compute() on a matrix "
+                "with this stored-nonzero layout"
+            )
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        vals = jnp.asarray(values)
+        if vals.ndim != 1 or vals.shape[0] != self._vals_nnz:
+            raise ValueError(
+                f"values must be [{self._vals_nnz}] (the analyzed matrix's "
+                f"stored-nonzero count), got {vals.shape}"
+            )
+        if vals.dtype != dtype:
+            vals = vals.astype(dtype)
+        if self._data_perm is not None:
+            vals = vals[self._data_perm]
+        self.q_seq, self._r_panels_f = self._fac_fn(
+            vals, self._panel_gmap, self._geom_dev
         )
         self._set_success()
         return self

@@ -805,6 +805,18 @@ class SegmentedBandedQR(QRSolver):
             # BandedBlockedQR.compute
             self._gmap_fp = fp
             self._fac_fn = None  # extraction strategy is baked in statically
+            # device-resident value path (factorize_values): pattern-only row
+            # permutation of the VALUE vector + expected nnz
+            self._vals_nnz = mat.nnz
+            self._data_perm = (
+                None
+                if self._row_perm.is_identity()
+                else jnp.asarray(
+                    mat.row_perm_data_map(self._row_perm).astype(
+                        np.int32 if mat.nnz < 2**31 else np.int64
+                    )
+                )
+            )
             gm = pmat.panels_gather_map(self._block_list, mR, max_cols)
             # XLA's TPU element gather runs at ~150M elem/s — 29 ms for the
             # 4.2M-entry panel map at 20k blocks, the single largest stage of
@@ -874,6 +886,43 @@ class SegmentedBandedQR(QRSolver):
         if self.mesh is not None:
             self._place_on_mesh()
 
+        self._set_success()
+        return self
+
+    def factorize_values(self, values) -> "SegmentedBandedQR":
+        """Refactorize from a vector of stored-nonzero VALUES (device-resident
+        fast path) — see :meth:`BandedBlockedQR.factorize_values`.  ``values``
+        must be in the analyzed matrix's stored order (``mat.data``, length
+        ``mat.nnz``); a jax array already on device refactorizes with zero
+        host work and zero host→device traffic."""
+        if self._delegate is not None:
+            self._delegate.factorize_values(values)
+            self._info = self._delegate._info
+            self._health = self._delegate._health
+            return self
+        if not self._analysis_ok or self._slab_gmap is None:
+            raise ValueError(
+                "factorize_values requires a prior compute() on a matrix "
+                "with this stored-nonzero layout"
+            )
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        vals = jnp.asarray(values)
+        if vals.ndim != 1 or vals.shape[0] != self._vals_nnz:
+            raise ValueError(
+                f"values must be [{self._vals_nnz}] (the analyzed matrix's "
+                f"stored-nonzero count), got {vals.shape}"
+            )
+        if vals.dtype != dtype:
+            vals = vals.astype(dtype)
+        if self._data_perm is not None:
+            vals = vals[self._data_perm]
+        fac = self._get_factorize_fn(self._pallas_active())
+        (self._Yws, self._Ts, self._r_panels, self._j2_top,
+         self._Yb, self._Tb, self._chain_seq, self._chain_r) = fac(
+            vals, self._fac_meta
+        )
+        if self.mesh is not None:
+            self._place_on_mesh()
         self._set_success()
         return self
 

@@ -209,6 +209,22 @@ class SparseCSR:
         new_data[:] = self.data[gather]
         return SparseCSR(self.shape, new_indptr, new_indices, new_data)
 
+    def row_perm_data_map(self, perm: Permutation) -> np.ndarray:
+        """Pattern-only data gather for :meth:`permute_rows`:
+        ``permute_rows(perm).data == self.data[map]``.
+
+        Lets a solver cache the row-permutation's effect on the VALUE vector
+        once per layout, so device-resident refactorization
+        (``factorize_values``) can reorder values with one device gather
+        instead of rebuilding the permuted matrix on the host."""
+        src_of_dest = perm.gather_indices()
+        counts = np.diff(self.indptr)[src_of_dest]
+        new_indptr = np.zeros(self.nrows + 1, dtype=np.int64)
+        new_indptr[1:] = np.cumsum(counts)
+        old_starts = self.indptr[:-1][src_of_dest]
+        pos = np.arange(self.nnz) - np.repeat(new_indptr[:-1], counts)
+        return np.repeat(old_starts, counts) + pos
+
     def permute_cols(self, perm: Permutation) -> "SparseCSR":
         """A * P — new column i = old column perm.indices[i] (per-row reorder)."""
         inv = perm.inverse().indices  # old col -> new col
