@@ -198,6 +198,83 @@ def _apply_cols_split(Yws, Ts, meta, vt, h1: int, transpose: bool, nuni: int):
     return jnp.concatenate([out_g[:1], out_u, out_g[1:]], axis=0)
 
 
+@functools.partial(jax.jit, static_argnames=("max_emit", "max_cols"))
+@highest_precision
+def _banded_solve_chunk_shared(
+    ypad, r_panels, cols_u, emit_u, ncols_u, active, *, max_emit: int, max_cols: int
+):
+    """Uniform-geometry batch form of :func:`_banded_solve_chunk`.
+
+    On a uniform chain every interior segment shares ONE (col-offset,
+    emit-rows, ncols) sequence per back-substitution step, so each step's
+    solution/RHS windows are cut with a single batch ``dynamic_slice``
+    instead of per-segment slices (which vmap lowers to gathers over the
+    whole work buffer — that, plus a batched 10×10 ``triangular_solve``,
+    made the interior back-substitution 94 ms of the 107 ms fused solve at
+    20k blocks).  The per-block triangular solve is unrolled over the ≤16
+    emit rows as lane-wide vector ops; per-segment activity stays a vector
+    select.  ``ypad`` [B, nloc+max_cols]; ``r_panels`` [B, L, me, mc];
+    shared scalars [L]; ``active`` [B, L]."""
+    B = ypad.shape[0]
+    dt = r_panels.dtype
+    r_iota = jax.lax.broadcasted_iota(jnp.int32, (max_emit,), 0)
+    c_iota = jax.lax.broadcasted_iota(jnp.int32, (max_cols,), 0)
+    one = jnp.ones((), dt)
+    zerov = jnp.zeros((), dt)
+
+    def body(xcarry, xs):
+        V, c0, er, nc, act = xs  # V [B, me, mc]; c0/er/nc scalars; act [B]
+        zero = jnp.zeros((), c0.dtype)
+        xwin = jax.lax.dynamic_slice(xcarry, (zero, c0), (B, max_cols))
+        maskj = (c_iota >= er) & (c_iota < nc)
+        rhs_sub = jnp.einsum("bec,bc->be", V, jnp.where(maskj[None], xwin, zerov))
+        yblk = jax.lax.dynamic_slice(ypad, (zero, c0), (B, max_emit))
+        rhs = jnp.where((r_iota < er)[None], yblk - rhs_sub, zerov)
+        xcols = [None] * max_emit
+        for i in range(max_emit - 1, -1, -1):
+            s = rhs[:, i]
+            for j in range(i + 1, max_emit):
+                s = s - V[:, i, j] * xcols[j]
+            xi = s / jnp.where(i < er, V[:, i, i], one)
+            xcols[i] = jnp.where(i < er, xi, zerov)
+        xblk = jnp.stack(xcols, axis=1)  # [B, me]
+        old = jax.lax.dynamic_slice(xcarry, (zero, c0), (B, max_emit))
+        new = jnp.where((r_iota < er)[None] & act[:, None], xblk, old)
+        return jax.lax.dynamic_update_slice(xcarry, new, (zero, c0)), None
+
+    Vl = jnp.moveaxis(r_panels, 0, 1)  # [L, B, me, mc]
+    xpad, _ = jax.lax.scan(
+        body,
+        jnp.zeros_like(ypad),
+        (Vl, cols_u, emit_u, ncols_u, active.T),
+        reverse=True,
+    )
+    return xpad
+
+
+def _interior_backsub_split(ypad, r_panels, meta, max_emit: int, max_cols: int, nuni: int):
+    """Interior back-substitution on uniform plans: segments ``1..1+nuni``
+    run the shared-scalar batch path; segment 0 and irregular tail segments
+    run the general vmapped per-segment chunk (mirrors
+    :func:`_apply_cols_split`).  Returns ``xs`` [S, nloc+max_cols]."""
+    S = ypad.shape[0]
+    e = 1 + nuni
+    gi = np.array([0] + list(range(e, S)))
+    xs_g = jax.vmap(
+        lambda xp, yp, rp, cs, er, nc, act: _banded_solve_chunk(
+            xp, yp, rp, cs, er, nc, act, max_emit=max_emit, max_cols=max_cols
+        )
+    )(
+        jnp.zeros_like(ypad[gi]), ypad[gi], r_panels[gi], meta["starts"][gi],
+        meta["emit2d"][gi], meta["ncols_loc_d"][gi], meta["active_d"][gi],
+    )
+    xs_u = _banded_solve_chunk_shared(
+        ypad[1:e], r_panels[1:e], meta["s1u"], meta["eru"], meta["ncu"],
+        meta["active_d"][1:e], max_emit=max_emit, max_cols=max_cols,
+    )
+    return jnp.concatenate([xs_g[:1], xs_u, xs_g[1:]], axis=0)
+
+
 @functools.partial(jax.jit, static_argnames=("transpose",))
 @highest_precision
 def _batched_wy_cols(Y, T, Mt, transpose: bool):
@@ -705,10 +782,35 @@ class SegmentedBandedQR(QRSolver):
                         break
         self._p2_nuni = nuni if nuni >= 2 else 0
         self._p2_uniform = self._p2_nuni > 0
+        self._bs_uniform = False
         if self._p2_uniform:
             self._s1u = jnp.asarray(s1u)
             self._s2u = jnp.asarray(s2u)
             self._spu = jnp.asarray(spu)
+            # back-substitution gate: its shared run additionally needs the
+            # (emit-rows, ncols) sequences equal on active prefixes — the
+            # FINAL segment usually breaks this (its last chain block has no
+            # trailing overlap, so it emits all its columns), so the run
+            # length is tracked separately from nuni; the unrolled
+            # triangular solve is bounded to <=16 emit rows
+            em, ncl = self._emit, lg["ncols"]
+            eru = em[1].astype(np.int32)
+            ncu = ncl[1].astype(np.int32)
+            bs_nuni = 0
+            if self._kw["max_emit"] <= 16:
+                for s in range(1, 1 + self._p2_nuni):
+                    n = int(act[s].sum())
+                    if np.array_equal(em[s][:n], eru[:n]) and np.array_equal(
+                        ncl[s][:n], ncu[:n]
+                    ):
+                        bs_nuni += 1
+                    else:
+                        break
+            self._bs_nuni = bs_nuni if bs_nuni >= 2 else 0
+            self._bs_uniform = self._bs_nuni > 0
+            if self._bs_uniform:
+                self._eru = jnp.asarray(eru)
+                self._ncu = jnp.asarray(ncu)
 
     def _prepare_pallas_gate(self):
         """Decide whether the fused Pallas segment-chain kernel can run phase 1
@@ -1454,23 +1556,25 @@ class SegmentedBandedQR(QRSolver):
         )
         rhs1 = y[:m1] - jnp.zeros((m1,), dt).at[idx_top].add(contrib, mode="drop")
         ypad = jnp.where(self._col_valid, rhs1[self._col_gather], jnp.zeros((), dt))
-        xpad0 = jnp.zeros_like(ypad)
-
-        def one(xp, yp, rp, cols, er, nc, act):
-            return _banded_solve_chunk(
-                xp, yp, rp, cols, er, nc, act,
-                max_emit=self._max_emit, max_cols=mc,
+        rp_aos = jnp.moveaxis(self._r_panels, -1, 0)
+        if self._p2_uniform and self._bs_uniform:
+            xs = _interior_backsub_split(
+                ypad, rp_aos,
+                dict(starts=self._starts, emit2d=self._emit_d,
+                     ncols_loc_d=self._ncols_d, active_d=self._active_d,
+                     s1u=self._s1u, eru=self._eru, ncu=self._ncu),
+                self._max_emit, mc, self._bs_nuni,
             )
-
-        xs = jax.vmap(one)(
-            xpad0,
-            ypad,
-            jnp.moveaxis(self._r_panels, -1, 0),
-            self._starts,
-            self._emit_d,
-            self._ncols_d,
-            self._active_d,
-        )
+        else:
+            xs = jax.vmap(
+                lambda xp, yp, rp, cols, er, nc, act: _banded_solve_chunk(
+                    xp, yp, rp, cols, er, nc, act,
+                    max_emit=self._max_emit, max_cols=mc,
+                )
+            )(
+                jnp.zeros_like(ypad), ypad, rp_aos,
+                self._starts, self._emit_d, self._ncols_d, self._active_d,
+            )
         idx = jnp.where(self._col_valid, self._col_gather, m1)
         x1 = jnp.zeros((m1,), dt).at[idx].set(xs, mode="drop")
         return jnp.concatenate([x1, x2])
@@ -1527,6 +1631,11 @@ class SegmentedBandedQR(QRSolver):
             self._sol_meta["s1u"] = self._s1u
             self._sol_meta["s2u"] = self._s2u
             self._sol_meta["spu"] = self._spu
+        bsu = p2u and self._bs_uniform
+        bs_nuni = self._bs_nuni if bsu else 0
+        if bsu:
+            self._sol_meta["eru"] = self._eru
+            self._sol_meta["ncu"] = self._ncu
 
         @jax.jit
         def sol(Yws, Ts, Yb, Tb, chain_seq, chain_r, j2_top, r_panels, b, meta):
@@ -1589,14 +1698,19 @@ class SegmentedBandedQR(QRSolver):
                 contrib, mode="drop"
             )
             ypad = jnp.where(col_valid, rhs1[col_gather], jnp.zeros((), dt))
-            xs = jax.vmap(
-                lambda xp, yp, rp, cs, er, nc, act: _banded_solve_chunk(
-                    xp, yp, rp, cs, er, nc, act, max_emit=max_emit, max_cols=mc
+            if bsu:
+                xs = _interior_backsub_split(
+                    ypad, r_panels, meta, max_emit, mc, bs_nuni
                 )
-            )(
-                jnp.zeros_like(ypad), ypad, r_panels, meta["starts"],
-                meta["emit2d"], meta["ncols_loc_d"], meta["active_d"],
-            )
+            else:
+                xs = jax.vmap(
+                    lambda xp, yp, rp, cs, er, nc, act: _banded_solve_chunk(
+                        xp, yp, rp, cs, er, nc, act, max_emit=max_emit, max_cols=mc
+                    )
+                )(
+                    jnp.zeros_like(ypad), ypad, r_panels, meta["starts"],
+                    meta["emit2d"], meta["ncols_loc_d"], meta["active_d"],
+                )
             idx = jnp.where(col_valid, col_gather, m1)
             x1 = jnp.zeros((m1,), dt).at[idx].set(xs, mode="drop")
             z = jnp.concatenate([x1, x2])
