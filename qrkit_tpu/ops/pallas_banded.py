@@ -40,7 +40,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["pallas_segment_chains_soa", "seg_pad", "SEG_STEP"]
+__all__ = [
+    "pallas_segment_chains_soa",
+    "pallas_chain_qr",
+    "seg_pad",
+    "SEG_STEP",
+]
 
 _LANE = 128
 _SUB = 8
@@ -137,6 +142,163 @@ def _chain_kernel(ma: int, mc: int, mca: int, me: int, ci: int, ci0_rest: int):
                 carry[r * mc + c] = jnp.where(act, new, cold[r][c])
 
     return kernel
+
+
+def _seq_chain_kernel(
+    ma: int, mc: int, mca: int, me: int, ci: int, ci0: int, nsub: int
+):
+    """Kernel body for ONE sequential banded chain, ``nsub`` steps per grid
+    index, operands in X-layout (``X[c, r] = A[r, c]`` — panel rows in lanes,
+    so every reflector reduction runs along the fast axis).
+
+    Refs:
+      p_ref   [1, nsub, mc, ma]   shifted panels, X-layout
+      act_ref [1, nsub]           1.0 = active step
+      y_ref   [1, nsub, mc, ma]   unit-diagonal Y (X-layout) out
+      tau_ref [1, nsub, mc]       reflector taus out
+      v_ref   [1, nsub, mc, me]   triu(R)[:me] (X-layout) out
+      carry   [mc, mca]           VMEM scratch (X-layout), persists over grid
+    """
+
+    def kernel(p_ref, act_ref, y_ref, tau_ref, v_ref, carry):
+        @pl.when(pl.program_id(0) == 0)
+        def _reset():
+            carry[...] = jnp.zeros(carry.shape, carry.dtype)
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, ma), 1)
+        sub = jax.lax.broadcasted_iota(jnp.int32, (mc, 1), 0)
+        lane2 = jax.lax.broadcasted_iota(jnp.int32, (mc, ma), 1)
+        sub2 = jax.lax.broadcasted_iota(jnp.int32, (mc, ma), 0)
+        lane_c = jax.lax.broadcasted_iota(jnp.int32, (1, mc), 1)
+        for b in range(nsub):
+            act = act_ref[0, 0, b] > 0.5
+            cold = carry[...]  # [mc, mca]
+            X = p_ref[0, b]  # [mc, ma]
+            X = X + jnp.pad(cold, ((0, 0), (0, ma - mca)))
+            one = jnp.ones((1, 1), X.dtype)
+            zero = jnp.zeros((1, 1), X.dtype)
+            Y = jnp.zeros((mc, ma), X.dtype)
+            tau_row = jnp.zeros((1, mc), X.dtype)
+            # unrolled Householder QR, Eigen/_householder_column conventions
+            # (identical formulas to _chain_kernel above, scalars as [1, 1];
+            # Y/taus accumulate via row masks — Mosaic cannot concat the
+            # offset-layout scalar tiles)
+            for j in range(mc):
+                row = X[j : j + 1, :]  # column j of A
+                x0 = row[:, j : j + 1]
+                sigma = jnp.sum(
+                    jnp.where(lane > j, row * row, 0.0), axis=1, keepdims=True
+                )
+                norm = jnp.sqrt(x0 * x0 + sigma)
+                beta = jnp.where(x0 >= 0, -norm, norm)
+                degen = sigma <= 0
+                denom = jnp.where(degen, one, x0 - beta)
+                safe_beta = jnp.where(norm == 0, one, beta)
+                tau = jnp.where(degen, zero, (beta - x0) / safe_beta)
+                v = jnp.where(
+                    lane == j, one, jnp.where(lane > j, row / denom, 0.0)
+                )  # [1, ma]
+                w = tau * jnp.sum(X * v, axis=1, keepdims=True)  # [mc, 1]
+                w = jnp.where(sub >= j, w, 0.0)
+                X = X - w * v
+                Y = jnp.where(sub2 == j, v, Y)
+                tau_row = jnp.where(lane_c == j, tau, tau_row)
+            azero = jnp.zeros((), X.dtype)
+            y_ref[0, b] = jnp.where(act, Y, azero)
+            tau_ref[0, b] = jnp.where(act, tau_row, azero)
+            # triu(R)[:me] in X-layout: entry [c, r] = R[r, c], r <= c
+            tri = jnp.where(lane2 <= sub2, X, azero)
+            v_ref[0, b] = jnp.where(act, tri[:, :me], azero)
+            # next carry = triu(R)[cix:cix+mca, cix:cix+mc] (X-layout slice);
+            # the chain's FIRST step may use a distinct increment ci0 — only
+            # sub-step 0 of grid step 0 can be it, so only b == 0 pays the
+            # double slice + select
+            def cut(cix):
+                trip = jnp.pad(
+                    tri, ((0, cix), (0, max(0, cix + mca - ma)))
+                )
+                return jax.lax.slice(
+                    trip, (cix, cix), (cix + mc, cix + mca)
+                )
+
+            blk = cut(ci)
+            if b == 0 and ci0 != ci:
+                blk = jnp.where(pl.program_id(0) == 0, cut(ci0), blk)
+            carry[...] = jnp.where(act, blk, cold)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ma", "mc", "mca", "me", "ci", "ci0", "nsub", "interpret"),
+)
+def pallas_chain_qr(
+    panels_t: jnp.ndarray,  # [nbp, mc, ma] shifted panels, X-layout
+    act: jnp.ndarray,  # [nbp] 1.0/0.0 step activity
+    *,
+    ma: int,
+    mc: int,
+    mca: int,
+    me: int,
+    ci: int,
+    ci0: int | None = None,
+    nsub: int = 8,
+    interpret: bool = False,
+):
+    """ONE sequential banded chain of ``nbp`` steps as a single kernel launch.
+
+    The ``lax.scan`` form of the chain (``_banded_factorize_chunk``) launches
+    dozens of tiny fused kernels per step — per-step dispatch latency, not
+    math, dominates long chains (the 625-segment boundary chain of the 20k
+    segmented factorize: ~10 ms; a 20k-block plain chain: ~1.5 s).  Here the
+    whole chain is one ``pallas_call`` with the R-overlap carry in VMEM
+    scratch across a sequential grid (``nsub`` chain steps per grid index to
+    amortize block DMA), so per-step cost is a few microseconds of VPU work.
+
+    Uniform-geometry contract (caller gates, else keep the XLA scan):
+    ``col_inc[l] == ci`` for ``0 < l < nb-1`` with an optional distinct
+    first-step ``ci0`` (the LAST step's carry cut is dead, and the carry
+    ADD is statically ``[:mca]`` exactly like the XLA chunk — per-step
+    carry depths only shift the panels, which the caller folds into its
+    gather map).  ``nbp`` must be a multiple of ``nsub`` (pad, ``act=0``).
+
+    Returns ``(y_t [nbp, mc, ma], taus [nbp, mc], v_t [nbp, mc, me])`` in
+    X-layout (``y_t[l, c, r]`` = Y[r, c]), matching the scan's per-step
+    ``(Y, taus, triu(R)[:me])`` exactly (inactive steps zeroed)."""
+    nbp = panels_t.shape[0]
+    if nbp % nsub:
+        raise ValueError(f"nbp {nbp} not a multiple of nsub {nsub}")
+    if ci0 is None:
+        ci0 = ci
+    dt = panels_t.dtype
+    p4 = panels_t.reshape(nbp // nsub, nsub, mc, ma)
+    a2 = act.astype(dt).reshape(nbp // nsub, 1, nsub)
+    grid = (nbp // nsub,)
+    spec = lambda *dims: pl.BlockSpec(
+        (1, *dims), lambda i: (i,) + (0,) * len(dims), memory_space=pltpu.VMEM
+    )
+    aspec = pl.BlockSpec(
+        (1, 1, nsub), lambda i: (i, 0, 0), memory_space=pltpu.SMEM
+    )
+    y4, t2, v4 = pl.pallas_call(
+        _seq_chain_kernel(ma, mc, mca, me, ci, ci0, nsub),
+        out_shape=(
+            jax.ShapeDtypeStruct((nbp // nsub, nsub, mc, ma), dt),
+            jax.ShapeDtypeStruct((nbp // nsub, nsub, 1, mc), dt),
+            jax.ShapeDtypeStruct((nbp // nsub, nsub, mc, me), dt),
+        ),
+        grid=grid,
+        in_specs=[spec(nsub, mc, ma), aspec],
+        out_specs=(spec(nsub, mc, ma), spec(nsub, 1, mc), spec(nsub, mc, me)),
+        scratch_shapes=[pltpu.VMEM((mc, mca), dt)],
+        interpret=interpret,
+    )(p4, a2)
+    return (
+        y4.reshape(nbp, mc, ma),
+        t2.reshape(nbp, mc),
+        v4.reshape(nbp, mc, me),
+    )
 
 
 @functools.partial(

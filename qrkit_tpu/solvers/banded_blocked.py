@@ -339,12 +339,15 @@ class BandedBlockedQR(QRSolver):
         block_cols: Optional[int] = None,
         block_overlap: Optional[int] = None,
         suggested_block_cols: int = 2,
+        use_pallas="auto",
     ):
         self._static = block_rows is not None and block_cols is not None and block_overlap is not None
         self._brows = block_rows
         self._bcols = block_cols
         self._boverlap = block_overlap
         self._suggested = suggested_block_cols
+        self.use_pallas = use_pallas
+        self._pallas_interpret = False
         self._analysis_ok = False
 
     @property
@@ -408,9 +411,51 @@ class BandedBlockedQR(QRSolver):
         )
         self._panel_gmap = None  # pattern gather map, built at first factorize
         self._fac_fn = None
+        self._fac_mode = None
         self._sol_fn = None
+        # fused sequential-chain kernel gate (ops/pallas_banded.py
+        # pallas_chain_qr): the whole chain in ONE launch with the carry in
+        # VMEM — the lax.scan form pays per-step dispatch latency (a 20k-step
+        # chain: ~1.5 s of which the math is tens of ms).  Needs one uniform
+        # column increment on steps 1..nb-2 (the first step may differ; the
+        # last step's carry cut is dead) and kernel-sized panels; per-step
+        # carry depths fold into the X-layout shifted gather map.
+        self._chain_kernel = None
+        nb = self.plan.num_blocks
+        crs, cis = g["carry_rows"], g["col_inc"]
+        if nb >= 32 and self._max_cols <= 32 and self._max_active <= 512:
+            ciu = int(cis[1]) if nb >= 3 else int(cis[0])
+            if (cis[1 : nb - 1] == ciu).all():
+                self._chain_kernel = dict(
+                    ma=self._max_active, mc=self._max_cols,
+                    mca=self._max_carry, me=self._max_emit,
+                    ci=ciu, ci0=int(cis[0]), nsub=8,
+                )
         self._analysis_ok = True
         return self
+
+    def _pallas_active(self) -> bool:
+        if self.use_pallas is False:
+            return False
+        if self.use_pallas is True:
+            if self._chain_kernel is None:
+                raise ValueError(
+                    "use_pallas=True but the plan geometry is not supported "
+                    "by the Pallas chain kernel (non-uniform column step or "
+                    "panel too large); use use_pallas='auto'"
+                )
+            return True
+        if self._chain_kernel is None:
+            return False
+        if self._pallas_interpret:
+            return True
+        # 'auto' keeps the XLA scan on the PLAIN solver: the fused kernel's
+        # serial reflector chain is VPU-issue-bound and measured 111 ms vs
+        # the scan's 43.6 ms on a 20k-block/10-col chain (nsub-insensitive).
+        # It wins only where chain steps are few and wide — the segmented
+        # solver's CAQR-compressed boundary chain (segmented_banded.py),
+        # where it cut the 20k factorize 28.6 -> 14.4 ms.
+        return False
 
     def compute(self, mat: SparseCSR, force_pattern_analysis: bool = False):
         if not self._analysis_ok or force_pattern_analysis:
@@ -422,17 +467,40 @@ class BandedBlockedQR(QRSolver):
         )
         g = self.geom
         dtype = np.float64 if jax.config.jax_enable_x64 else np.float32
+        pallas_on = self._pallas_active()
         fp = pmat.pattern_fingerprint()
         if self._panel_gmap is None or fp != self._gmap_fp:
             # keyed on the stored-nonzero LAYOUT, not just the plan: a
             # same-structure matrix with a pruned/reordered entry shifts every
             # later data index, and a stale map would silently gather garbage
-            self._panel_gmap = jnp.asarray(
-                pmat.panels_gather_map(
-                    [b.astuple() for b in self.plan.blocks],
-                    self._mR, self._max_cols,
-                )
+            gm = pmat.panels_gather_map(
+                [b.astuple() for b in self.plan.blocks],
+                self._mR, self._max_cols,
             )
+            self._panel_gmap = jnp.asarray(gm)
+            if self._chain_kernel is not None:
+                # X-layout (rows-in-lanes) gather map with the per-step carry
+                # shift folded in, padded to a whole number of kernel
+                # sub-step groups (sentinel rows + act=0)
+                ck = self._chain_kernel
+                nb = self.plan.num_blocks
+                ma, mc, mR = ck["ma"], ck["mc"], self._mR
+                nbp = -(-nb // ck["nsub"]) * ck["nsub"]
+                crs = g["carry_rows"]
+                gmt = np.full((nbp, mc, ma), pmat.nnz, dtype=gm.dtype)
+                lt = crs[:nb, None, None] + np.arange(mR)[None, None, :]
+                dest = (
+                    np.arange(nb)[:, None, None] * mc
+                    + np.arange(mc)[None, :, None]
+                ) * ma + lt
+                valid = np.broadcast_to(lt < ma, dest.shape)
+                gmt.reshape(-1)[dest[valid]] = np.transpose(
+                    gm, (0, 2, 1)
+                )[valid]
+                self._panel_gmap_t = jnp.asarray(gmt)
+                act = np.zeros((nbp,), np.float32)
+                act[:nb] = 1.0
+                self._chain_act = jnp.asarray(act)
             self._gmap_fp = fp
             # device-resident value path (factorize_values): cache the row
             # permutation's effect on the VALUE vector (pattern-only) and the
@@ -456,9 +524,44 @@ class BandedBlockedQR(QRSolver):
         # are jit ARGUMENTS: a closure-captured device array would be baked
         # into the executable as a constant via a host round trip, and such
         # programs also degrade subsequent tunnel transfers.
-        if self._fac_fn is None:
-            mA, mC = self._max_active, self._max_cols
-            mCa, mE, m = self._max_carry, self._max_emit, self._nrows
+        self._build_fac_fn(pallas_on)
+        data_dev = jnp.asarray(np.asarray(pmat.data, dtype))
+        self.q_seq, self._r_panels_f = self._run_fac(data_dev)
+        self._set_success()
+        return self
+
+    def _build_fac_fn(self, pallas_on: bool):
+        if self._fac_fn is not None and self._fac_mode == pallas_on:
+            return
+        mA, mC = self._max_active, self._max_cols
+        mCa, mE, m = self._max_carry, self._max_emit, self._nrows
+        if pallas_on:
+            from ..ops.householder import build_t_factor
+            from ..ops.pallas_banded import pallas_chain_qr
+
+            ck = dict(self._chain_kernel)
+            nb = self.plan.num_blocks
+            interp = self._pallas_interpret
+
+            @jax.jit
+            def _fac_k(data, gmap_t, geom, act):
+                pad = jnp.concatenate([data, jnp.zeros((1,), data.dtype)])
+                y_t, taus, v_t = pallas_chain_qr(
+                    pad[gmap_t], act, **ck, interpret=interp
+                )
+                Yws = jnp.swapaxes(y_t[:nb], 1, 2)
+                Ts = jax.vmap(build_t_factor)(Yws, taus[:nb])
+                Vs = jnp.swapaxes(v_t[:nb], 1, 2)
+                seq = TwoSegmentWYSeq(
+                    Yws, Ts, geom["cols"].astype(jnp.int32),
+                    geom["rows"].astype(jnp.int32),
+                    geom["carry_rows"].astype(jnp.int32),
+                    h1=max(mCa, 1), m=m,
+                )
+                return seq, Vs.reshape(Vs.shape[0], -1)
+
+            self._fac_fn = _fac_k
+        else:
 
             @jax.jit
             def _fac(data, gmap, geom):
@@ -473,12 +576,14 @@ class BandedBlockedQR(QRSolver):
                 return seq, Vs.reshape(Vs.shape[0], -1)
 
             self._fac_fn = _fac
-        data_dev = jnp.asarray(np.asarray(pmat.data, dtype))
-        self.q_seq, self._r_panels_f = self._fac_fn(
-            data_dev, self._panel_gmap, self._geom_dev
-        )
-        self._set_success()
-        return self
+        self._fac_mode = pallas_on
+
+    def _run_fac(self, vals):
+        if self._fac_mode:
+            return self._fac_fn(
+                vals, self._panel_gmap_t, self._geom_dev, self._chain_act
+            )
+        return self._fac_fn(vals, self._panel_gmap, self._geom_dev)
 
     def factorize_values(self, values) -> "BandedBlockedQR":
         """Refactorize from a vector of stored-nonzero VALUES — the
@@ -512,9 +617,7 @@ class BandedBlockedQR(QRSolver):
             vals = vals.astype(dtype)
         if self._data_perm is not None:
             vals = vals[self._data_perm]
-        self.q_seq, self._r_panels_f = self._fac_fn(
-            vals, self._panel_gmap, self._geom_dev
-        )
+        self.q_seq, self._r_panels_f = self._run_fac(vals)
         self._set_success()
         return self
 

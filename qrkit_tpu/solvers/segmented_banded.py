@@ -177,24 +177,197 @@ def _segment_apply_cols_shared(Yws, Ts, s1u, s2u, spu, vt, h1: int, transpose: b
     return out[:, :, :R]
 
 
-def _apply_cols_split(Yws, Ts, meta, vt, h1: int, transpose: bool, nuni: int):
+@highest_precision
+def _segment_apply_cols_shared_static(Yws, Ts, s1t, s2t, spt, vt, h1, transpose):
+    """Statically-unrolled form of :func:`_segment_apply_cols_shared`.
+
+    The shared window scalars are PLAN data (host-known integers), so every
+    per-step window cut and write-back can be a static ``lax.slice`` /
+    ``dynamic_update_slice`` and the masked two-segment recomposition
+    collapses to two static slices + one concat.  The ``lax.scan`` form
+    re-materializes the whole [S, k, R] work buffer every step — the carry
+    is read by three dynamic slices before being updated, which defeats
+    in-place aliasing — and measured 11.5 ms of the 39 ms 20k-block
+    factorize while its window traffic is ~0.2 ms of HBM time; unrolled
+    with static offsets XLA updates the buffer in place.  Inactive trailing
+    steps of padded segments are exact no-ops (``Y = T = 0`` makes the
+    update vanish and the write-back restores the gathered values).
+    """
+    S, k, R = vt.shape
+    A = Yws.shape[2]
+    L = Yws.shape[1]
+    carry = jnp.concatenate([vt, jnp.zeros((S, k, h1 + A), vt.dtype)], axis=2)
+    order = range(L) if transpose else reversed(range(L))
+    for l in order:
+        s1, s2, sp = int(s1t[l]), int(s2t[l]), int(spt[l])
+        Yk = Yws[:, l]  # [S, A, mc]
+        Tk = Ts[:, l]
+        Tt = Tk if transpose else jnp.swapaxes(Tk, 1, 2)
+        tw = A - sp
+        parts = []
+        if sp:
+            parts.append(jax.lax.slice(carry, (0, 0, s1), (S, k, s1 + sp)))
+        if tw:
+            parts.append(jax.lax.slice(carry, (0, 0, s2), (S, k, s2 + tw)))
+        wg = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=2)
+        wg = wg + ((wg @ Yk) @ Tt) @ jnp.swapaxes(Yk, 1, 2)
+        if sp:
+            carry = jax.lax.dynamic_update_slice(carry, wg[:, :, :sp], (0, 0, s1))
+        if tw:
+            carry = jax.lax.dynamic_update_slice(carry, wg[:, :, sp:], (0, 0, s2))
+    return carry[:, :, :R]
+
+
+def _p2_stream_plan(s1t, s2t, spt, A: int, L: int, R: int):
+    """Static analysis enabling the rolling-window phase-2 apply (Qᵀ order).
+
+    The window at step ``l`` spans ``[s1_l, s2_l + (A - sp_l))`` of the
+    work vector: lanes left of ``s1_l`` are FINAL (no later step reads or
+    writes them — heads march right), lanes right of the previous window
+    edge are PRISTINE operand values (writes always land inside the
+    window).  Valid iff ``s1`` is nondecreasing and each step's head
+    ``[s1, s1+sp)`` precedes its tail ``[s2, s2+A-sp)`` disjointly.
+    Returns ``True`` when the streaming form applies, else ``None``."""
+    for l in range(L):
+        s1, s2, sp = int(s1t[l]), int(s2t[l]), int(spt[l])
+        if sp and s2 < s1 + sp:
+            return None
+        if l and s1 < int(s1t[l - 1]):
+            return None
+        if s2 < s1:
+            return None
+    return True
+
+
+@highest_precision
+def _segment_apply_cols_stream(Yws, Ts, s1t, s2t, spt, vt, transpose):
+    """Rolling-window form of :func:`_segment_apply_cols_shared_static`
+    (Qᵀ order only).
+
+    The unrolled-static form still updates a [S, k, R] HBM buffer twice per
+    step, and in the factorize pipeline XLA fails to alias those updates —
+    each ``dynamic_update_slice`` measured ~154 µs of whole-buffer copy
+    (~10 ms of the 38 ms 20k-block factorize).  Here the work vector is
+    never held as an updatable buffer at all: a live window VALUE spanning
+    ``[s1_l, s2_l+A-sp_l)`` rolls right over the operand — finalized lanes
+    are emitted on the left, pristine operand lanes ingested on the right
+    (:func:`_p2_stream_plan` checks the geometry) — and the output is
+    assembled with ONE static concat of the emitted chunks, the final
+    window, and the untouched operand tail."""
+    S, k, R = vt.shape
+    A = Yws.shape[2]
+    L = Yws.shape[1]
+    assert transpose, "streaming form is Qᵀ-order only"
+    dt = vt.dtype
+    emitted = []
+    W = jnp.zeros((S, k, 0), dt)
+    w0, w1 = 0, 0  # current window coverage [w0, w1)
+
+    def pristine(lo, hi):
+        hi_r = max(min(hi, R), lo)
+        parts = []
+        if hi_r > lo:
+            parts.append(jax.lax.slice(vt, (0, 0, lo), (S, k, hi_r)))
+        if hi > hi_r:
+            parts.append(jnp.zeros((S, k, hi - hi_r), dt))
+        return parts
+
+    for l in range(L):
+        s1, s2, sp = int(s1t[l]), int(s2t[l]), int(spt[l])
+        tw = A - sp
+        if s1 > w0:  # lanes left of s1 are final: emit
+            d = min(s1, w1) - w0
+            if d > 0:
+                emitted.append(W[:, :, :d])
+                W = W[:, :, d:]
+            if s1 > w1:  # window detached: flush pristine gap
+                emitted.extend(pristine(max(w1, w0), s1))
+                w1 = s1
+            w0 = s1
+        end = s2 + tw
+        if end > w1:  # ingest pristine lanes on the right
+            W = jnp.concatenate([W] + pristine(w1, end), axis=2)
+            w1 = end
+        Yk = Yws[:, l]
+        Tk = Ts[:, l]
+        parts = []
+        if sp:
+            parts.append(W[:, :, : sp])  # head sits at the window start
+        if tw:
+            parts.append(W[:, :, s2 - w0 : s2 - w0 + tw])
+        wg = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=2)
+        wg = wg + ((wg @ Yk) @ Tk) @ jnp.swapaxes(Yk, 1, 2)
+        segs = []
+        if sp:
+            segs.append(wg[:, :, :sp])
+            segs.append(W[:, :, sp : s2 - w0])
+        else:
+            segs.append(W[:, :, : s2 - w0])
+        if tw:
+            segs.append(wg[:, :, sp:])
+            segs.append(W[:, :, s2 - w0 + tw :])
+        W = jnp.concatenate(segs, axis=2)
+    pieces = emitted + [W] + pristine(w1, max(R, w1))
+    out = jnp.concatenate(pieces, axis=2)
+    return out[:, :, :R]
+
+
+def _apply_cols_split(
+    Yws, Ts, meta, vt, h1: int, transpose: bool, nuni: int, p2s=None,
+    gen_static=None,
+):
     """Phase-2 lane-major apply on uniform plans: segments ``1..1+nuni``
     (the maximal uniform run found by the plan-time gate) run the
     shared-scalar batch path; segment 0 (distinct local column starts — it
     keeps its leading overlap) and any irregular tail segments (a final
     chain block without trailing overlap changes the last segment's
-    geometry) run the general per-segment path."""
+    geometry) run the general per-segment path.  ``p2s`` carries the shared
+    scalars as host tuples when available, selecting the unrolled-static
+    uniform path; ``gen_static`` carries each general segment's own scalar
+    tuples (trimmed to its active steps) so those 2-3 segments ALSO unroll
+    statically — the vmapped 32-step scan over just the irregular segments
+    measured 7.5 ms of the 20k-block factorize, pure scan-step latency."""
     S = vt.shape[0]
     e = 1 + nuni
     gi = np.array([0] + list(range(e, S)))
-    out_g = _segment_apply_cols(
-        Yws[gi], Ts[gi], meta["starts"][gi], meta["rows2d"][gi],
-        meta["carry2d"][gi], vt[gi], h1, transpose,
-    )
-    out_u = _segment_apply_cols_shared(
-        Yws[1:e], Ts[1:e], meta["s1u"], meta["s2u"], meta["spu"],
-        vt[1:e], h1, transpose,
-    )
+    if transpose and gen_static is not None and len(gen_static) == len(gi):
+        # batch-gather the few irregular segments' operands ONCE, then slice
+        # the small gathered arrays per segment: per-step slices that remain
+        # views of the full factor arrays re-pay the producer transpose on
+        # every step (measured 74 ms vs 14.6 ms at 20k blocks)
+        Yg, Tg, vg = Yws[gi], Ts[gi], vt[gi]
+        outs_g = []
+        for k in range(len(gi)):
+            s1t, s2t, spt = gen_static[k]
+            n = len(s1t)
+            outs_g.append(
+                _segment_apply_cols_stream(
+                    Yg[k : k + 1, :n], Tg[k : k + 1, :n], s1t, s2t, spt,
+                    vg[k : k + 1], transpose,
+                )
+            )
+        out_g = jnp.concatenate(outs_g, axis=0)
+    else:
+        out_g = _segment_apply_cols(
+            Yws[gi], Ts[gi], meta["starts"][gi], meta["rows2d"][gi],
+            meta["carry2d"][gi], vt[gi], h1, transpose,
+        )
+    if p2s is not None:
+        stream = p2s[3] if len(p2s) > 3 else None
+        if transpose and stream is not None:
+            out_u = _segment_apply_cols_stream(
+                Yws[1:e], Ts[1:e], p2s[0], p2s[1], p2s[2], vt[1:e], transpose
+            )
+        else:
+            out_u = _segment_apply_cols_shared_static(
+                Yws[1:e], Ts[1:e], p2s[0], p2s[1], p2s[2], vt[1:e], h1,
+                transpose,
+            )
+    else:
+        out_u = _segment_apply_cols_shared(
+            Yws[1:e], Ts[1:e], meta["s1u"], meta["s2u"], meta["spu"],
+            vt[1:e], h1, transpose,
+        )
     return jnp.concatenate([out_g[:1], out_u, out_g[1:]], axis=0)
 
 
@@ -709,6 +882,59 @@ class SegmentedBandedQR(QRSolver):
             jnp.asarray(cg["emit_rows"]),
             jnp.asarray(cg["ncols"]),
         )
+        # fused sequential-chain kernel gate + gather map: the scan over the
+        # compressed chain is per-step-dispatch-bound (~10 ms of the 20k-block
+        # factorize at 90 grouped steps); pallas_chain_qr runs the WHOLE chain
+        # in one launch with the carry in VMEM.  The kernel wants uniform
+        # carry depth after step 0 and one column increment (the last step's
+        # carry cut is dead), and panels pre-shifted in X-layout — the shift
+        # and transpose fold into this host-built gather map over comp's
+        # flattened [S, 2o, 2o] entries (sentinel = appended zero).
+        self._chain_pallas = None
+        nbc = len(chain_plan.blocks)
+        crs, cis = cg["carry_rows"], cg["col_inc"]
+        mcac = max(int(crs.max()), 1)
+        mcc = int(cg["ncols"].max())
+        mac = int(cg["active"].max())
+        mec = int(cg["emit_rows"].max())
+        ciu = int(cis[1]) if nbc >= 3 else int(cis[0])
+        if (
+            nbc >= 16
+            and mcc <= 32
+            and crs[0] == 0
+            and (cis[1 : nbc - 1] == ciu).all()
+        ):
+            nsub = 8
+            nbp = -(-nbc // nsub) * nsub
+            sent = S * 4 * o * o
+            rmt = np.full((nbp, mcc, mac), sent, dtype=np.int64)
+            groups = (
+                [chain_blocks[g0 : g0 + G] for g0 in range(0, S, G)]
+                if G > 1
+                else [[b] for b in chain_blocks]
+            )
+            for g, blks in enumerate(groups):
+                c0g = min(b.col for b in blks)
+                r0g = blks[0].row
+                cr_g = int(crs[g])
+                for i, b in enumerate(blks):
+                    si = b.row // (2 * o)
+                    rr = np.arange(2 * o)[None, :]
+                    cc = np.arange(b.ncols)[:, None]
+                    rmt[
+                        g,
+                        (b.col - c0g) + cc,
+                        cr_g + (b.row - r0g) + rr,
+                    ] = si * 4 * o * o + rr * 2 * o + cc
+            actc = np.zeros((nbp,), np.float32)
+            actc[:nbc] = 1.0
+            self._chain_pallas = dict(
+                map=_imap(rmt),
+                act=jnp.asarray(actc),
+                nb=nbc,
+                statics=dict(ma=mac, mc=mcc, mca=mcac, me=mec,
+                             ci=ciu, ci0=int(cis[0]), nsub=nsub),
+            )
 
         # device gather maps between padded segment rows and the chain layout
         seg_ncols_a = np.asarray(self._seg_ncols)
@@ -787,6 +1013,36 @@ class SegmentedBandedQR(QRSolver):
             self._s1u = jnp.asarray(s1u)
             self._s2u = jnp.asarray(s2u)
             self._spu = jnp.asarray(spu)
+            # host tuples select the unrolled-static uniform apply (the
+            # scalars are plan constants; static slices let XLA update the
+            # phase-2 work buffer in place instead of re-materializing it
+            # per scan step)
+            self._p2_static = (
+                tuple(int(x) for x in s1u),
+                tuple(int(x) for x in s2u),
+                tuple(int(x) for x in spu),
+                _p2_stream_plan(
+                    s1u, s2u, spu, int(self._kw["max_active"]), self.L,
+                    int(self._max_seg_rows),
+                ),
+            )
+            # per-segment scalar tuples for the general (irregular) segments,
+            # trimmed to active steps, enabling their unrolled-static stream
+            A_ = int(self._kw["max_active"])
+            R_ = int(self._max_seg_rows)
+            gen = []
+            for s in [0] + list(range(1 + self._p2_nuni, S)):
+                n = int(act[s].sum())
+                g = (
+                    tuple(int(x) for x in lg["cols"][s][:n]),
+                    tuple(int(x) for x in lg["rows"][s][:n]),
+                    tuple(int(x) for x in lg["carry_rows"][s][:n]),
+                )
+                if _p2_stream_plan(g[0], g[1], g[2], A_, n, R_) is None:
+                    gen = None
+                    break
+                gen.append(g)
+            self._p2_gen_static = tuple(gen) if gen is not None else None
             # back-substitution gate: its shared run additionally needs the
             # (emit-rows, ncols) sequences equal on active prefixes — the
             # FINAL segment usually breaks this (its last chain block has no
@@ -1140,10 +1396,16 @@ class SegmentedBandedQR(QRSolver):
         if pallas_on:
             self._fac_meta["act_soa"] = self._act_soa
         grouped = self._chain_regroup is not None
+        chain_pl = self._chain_pallas if pallas_on else None
+        if chain_pl is not None:
+            self._fac_meta["chain_map_t"] = chain_pl["map"]
+            self._fac_meta["chain_act"] = chain_pl["act"]
         if grouped:
             self._fac_meta["chain_regroup"] = self._chain_regroup
         p2u = self._p2_uniform
         nuni = self._p2_nuni
+        p2s = getattr(self, "_p2_static", None) if p2u else None
+        p2g = getattr(self, "_p2_gen_static", None) if p2u else None
         if p2u:
             self._fac_meta["s1u"] = self._s1u
             self._fac_meta["s2u"] = self._s2u
@@ -1263,7 +1525,9 @@ class SegmentedBandedQR(QRSolver):
             slab_t = _extract_slab(pad, meta)  # [S, 2o, seg_rows(pad)] lane-major
             Yws, Ts, Vs = _phase1(pad, meta)
             qt_slab = (
-                _apply_cols_split(Yws, Ts, meta, slab_t, h1, True, nuni)
+                _apply_cols_split(
+                    Yws, Ts, meta, slab_t, h1, True, nuni, p2s, p2g
+                )
                 if p2u
                 else _segment_apply_cols(
                     Yws, Ts, meta["starts"], meta["rows2d"], meta["carry2d"],
@@ -1308,16 +1572,42 @@ class SegmentedBandedQR(QRSolver):
             Yb, Tb_soa, Rb_top = panel_qr_yt_soa(bot_soa)
             Tb = jnp.transpose(Tb_soa, (2, 0, 1))  # [S, 2o, 2o] (small)
             comp = jnp.triu(jnp.transpose(Rb_top, (2, 0, 1)))
-            if grouped:
+            if chain_pl is not None:
+                # whole boundary chain in ONE kernel launch; the gather map
+                # folds the regroup, the carry row shift, and the X-layout
+                # transpose (see _chain_pallas at plan time)
+                from ..ops.pallas_banded import pallas_chain_qr
+
                 compf = jnp.concatenate(
                     [comp.reshape(-1), jnp.zeros((1,), dtype)]
                 )
-                pan = compf[meta["chain_regroup"]]
+                pant = compf[meta["chain_map_t"]]
+                y_t, taus_c, v_t = pallas_chain_qr(
+                    pant, meta["chain_act"], **chain_pl["statics"],
+                    interpret=interp,
+                )
+                ncb = chain_pl["nb"]
+                Ywc = jnp.swapaxes(y_t[:ncb], 1, 2)
+                Tsc = jax.vmap(build_t_factor)(Ywc, taus_c[:ncb])
+                chain_r = jnp.swapaxes(v_t[:ncb], 1, 2)
+                cgd = meta["chain_geom"]
+                chain_seq = TwoSegmentWYSeq(
+                    Ywc, Tsc, cgd["cols"].astype(jnp.int32),
+                    cgd["rows"].astype(jnp.int32),
+                    cgd["carry_rows"].astype(jnp.int32),
+                    h1=max(ckw["max_carry"], 1), m=nbot2,
+                )
             else:
-                pan = comp[..., : ckw["max_cols"]]
-            chain_seq, chain_r = banded_factorize(
-                pan, meta["chain_geom"], **ckw, m=nbot2
-            )
+                if grouped:
+                    compf = jnp.concatenate(
+                        [comp.reshape(-1), jnp.zeros((1,), dtype)]
+                    )
+                    pan = compf[meta["chain_regroup"]]
+                else:
+                    pan = comp[..., : ckw["max_cols"]]
+                chain_seq, chain_r = banded_factorize(
+                    pan, meta["chain_geom"], **ckw, m=nbot2
+                )
             # STORED factor layout is SoA ([L, ma, mc, S] / [L, mc, mc, S],
             # segment axis last): a jit OUTPUT gets the default tiled layout,
             # and the AoS [S, L, ma, mc] form with mc ≪ 128 minor is
@@ -1614,6 +1904,8 @@ class SegmentedBandedQR(QRSolver):
         cols_d, emit_d, ncols_d = self._chain_solve_meta
         p2u = self._p2_uniform
         nuni = self._p2_nuni
+        p2s = getattr(self, "_p2_static", None) if p2u else None
+        p2g = getattr(self, "_p2_gen_static", None) if p2u else None
         # every device array is a jit argument — see _get_factorize_fn
         self._sol_meta = dict(
             starts=self._starts, rows2d=self._rows2d, carry2d=self._carry2d,
@@ -1656,7 +1948,7 @@ class SegmentedBandedQR(QRSolver):
                 jnp.zeros((), dt),
             )
             out = (
-                _apply_cols_split(Yws, Ts, meta, vt, h1, True, nuni)
+                _apply_cols_split(Yws, Ts, meta, vt, h1, True, nuni, p2s, p2g)
                 if p2u
                 else _segment_apply_cols(
                     Yws, Ts, meta["starts"], meta["rows2d"], meta["carry2d"],
