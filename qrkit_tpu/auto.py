@@ -198,14 +198,12 @@ def _csr_solver(
             return solver, "block_diagonal"
         if prefer_segmented is False and (
             plan.num_blocks < 2 * SegmentedBandedQR.DEFAULT_SEGMENT_BLOCKS
-            # tall blocks carry enough arithmetic per sequential scan step
-            # that hiding step latency no longer pays for the segmented
-            # composition's boundary machinery (measured: a 2499-chain of
-            # 40x8 blocks factorizes 2.7x FASTER on the plain scan, while
-            # 21x10 chains favor the segmented form — bench_banded.py
-            # config3 vs default)
-            or int(nrows_.max()) > 3 * int(ncols_.max())
         ):
+            # only short chains keep the plain scan; the segmented form now
+            # wins tall-block chains too (bench_banded.py config3 — a
+            # 2499-chain of 40x8 blocks: factorize 70 vs 167 ms, solve 3.5
+            # vs 51 ms once the boundary chain runs as one fused Pallas
+            # launch and phase 2 streams with static windows)
             solver = BandedBlockedQR(suggested_block_cols=suggested_block_cols)
             solver.set_analysis(plan, perm)
             return solver, "banded_blocked"
