@@ -141,6 +141,24 @@ class SparseCSR:
         rows, cols = np.nonzero(np.abs(m) > tol)
         return SparseCSR.from_triplets(rows, cols, m[rows, cols], m.shape)
 
+    @staticmethod
+    def from_scipy(m) -> "SparseCSR":
+        """Build from any ``scipy.sparse`` matrix/array (migration path from
+        Eigen::SparseMatrix users who already hold scipy data).  Converts to
+        canonical CSR (sorted column indices, summed duplicates) first."""
+        csr = m.tocsr()
+        csr.sum_duplicates()
+        csr.sort_indices()
+        return SparseCSR(csr.shape, csr.indptr, csr.indices, csr.data)
+
+    def to_scipy(self):
+        """Return the matrix as ``scipy.sparse.csr_matrix`` (zero-copy views)."""
+        import scipy.sparse as sp
+
+        return sp.csr_matrix(
+            (self.data, self.indices, self.indptr), shape=self.shape
+        )
+
     # --- basic properties -----------------------------------------------------------
     @property
     def nnz(self) -> int:
