@@ -108,8 +108,8 @@ def bench(qr, mat, b, reps):
     def run_sol(K):
         t0 = time.perf_counter()
         for bk in bs[:K]:
-            x = qr.solve(bk)
-        _fetch_scalar(x)
+            xk = qr.solve(bk)
+        _fetch_scalar(xk)
         return time.perf_counter() - t0
 
     run_sol(1)

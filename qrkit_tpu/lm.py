@@ -17,6 +17,7 @@ iteration acceptance is inherently data-dependent.
 from __future__ import annotations
 
 import dataclasses
+import functools as _functools
 from typing import Callable, NamedTuple, Optional
 
 import jax.numpy as jnp
@@ -133,9 +134,6 @@ def _cfg_key(cfg: LMConfig):
         cfg.max_iters, cfg.ftol, cfg.xtol, cfg.gtol,
         cfg.lambda_init, cfg.lambda_min, cfg.lambda_max,
     )
-
-
-import functools as _functools
 
 
 def _make_minimize(residual_fn, damped_step_fn, cfg):

@@ -145,18 +145,28 @@ class SparseCSR:
     def from_scipy(m) -> "SparseCSR":
         """Build from any ``scipy.sparse`` matrix/array (migration path from
         Eigen::SparseMatrix users who already hold scipy data).  Converts to
-        canonical CSR (sorted column indices, summed duplicates) first."""
+        canonical CSR (sorted column indices, summed duplicates) first.
+
+        The input is never mutated and the result shares no buffers with it:
+        ``tocsr()`` returns the SAME object for a CSR input, so canonicalizing
+        in place would silently edit user-owned data, and scipy's value buffer
+        would otherwise alias the returned matrix."""
         csr = m.tocsr()
+        if csr is m:
+            csr = csr.copy()
         csr.sum_duplicates()
         csr.sort_indices()
-        return SparseCSR(csr.shape, csr.indptr, csr.indices, csr.data)
+        return SparseCSR(csr.shape, csr.indptr, csr.indices, np.array(csr.data))
 
     def to_scipy(self):
-        """Return the matrix as ``scipy.sparse.csr_matrix`` (zero-copy views)."""
+        """Return the matrix as ``scipy.sparse.csr_matrix``.  No aliasing:
+        scipy copies (and downcasts) the index arrays on construction anyway,
+        so the value array is copied too rather than shipping a half-aliased
+        matrix whose values are shared but whose indices are not."""
         import scipy.sparse as sp
 
         return sp.csr_matrix(
-            (self.data, self.indices, self.indptr), shape=self.shape
+            (self.data.copy(), self.indices, self.indptr), shape=self.shape
         )
 
     # --- basic properties -----------------------------------------------------------

@@ -66,8 +66,6 @@ def test_bundle_noisy_recovery():
 def test_bundle_device_matches_host_loop():
     """fit_bundle_device (one compiled while_loop) reaches the same quality
     as the host-loop class-API driver on a noisy scene."""
-    import numpy as np
-
     from qrkit_tpu import LMConfig
     from qrkit_tpu.examples.bundle import fit_bundle_device
 
