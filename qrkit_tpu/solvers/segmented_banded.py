@@ -497,6 +497,94 @@ def _segment_apply(Yws, Ts, s1, s2, split, v_seg, h1: int, transpose: bool, vec:
     return out[..., 0] if vec else out
 
 
+@highest_precision
+def _seg_qt_program(
+    factors, meta, v2, *, S, R, nrows, m1, nbot, nbot2, rbot_max, o, h1
+):
+    """Whole Qᵀ·M as ONE traced program (the general-matrix QProduct of
+    BandedBlockedSparseQR.h:552-585, segmented form).
+
+    Phase-1 per-segment Qᵀ (block-diagonal over segments), reorder R-space
+    rows first, then the compressed boundary reduction (blockdiag Qbᵀ +
+    chain Qᵀ) on the bottom region.  ``factors``/``meta`` carry every device
+    array as jit arguments; the statics are plan integers."""
+    Yws = jnp.moveaxis(factors["Yws"], -1, 0)
+    Ts = jnp.moveaxis(factors["Ts"], -1, 0)
+    k = v2.shape[1]
+    seg_gather, seg_valid = meta["seg_gather"], meta["seg_valid"]
+    vs = jnp.where(
+        seg_valid[..., None],
+        v2[jnp.clip(seg_gather, 0, nrows - 1)],
+        jnp.zeros((), v2.dtype),
+    )  # [S, R, k]
+    out = _segment_apply(
+        Yws, Ts, meta["starts"], meta["rows2d"], meta["carry2d"],
+        vs, h1, True, False,
+    )
+    flat = out.reshape(S * R, k)
+    scatter = jnp.zeros((nrows, k), v2.dtype)
+    scatter = scatter.at[seg_gather.reshape(-1)].set(flat, mode="drop")
+    top = scatter[meta["row_order"]]
+    # bottom region, SoA throughout ([rbot, k, S], matching the Yb store):
+    # transposing Yb to AoS would materialize its lane-padded form
+    vb = top[m1:]
+    w = jnp.where(
+        meta["rbot_valid_t"][:, None, :],
+        jnp.moveaxis(vb[jnp.clip(meta["rbot_gather_t"], 0, nbot - 1)], 1, 2),
+        jnp.zeros((), v2.dtype),
+    )  # [rbot_max, k, S]
+    w = _batched_wy_soa(factors["Yb"], factors["Tb"], w, True)
+    z = factors["chain_seq"].apply_qt(
+        jnp.moveaxis(w[: 2 * o], 2, 0).reshape(nbot2, k)
+    )
+    bout = jnp.zeros((nbot, k), v2.dtype).at[:nbot2].set(z)
+    if rbot_max > 2 * o:
+        bout = bout.at[meta["rest_pos"].reshape(-1)].set(
+            jnp.moveaxis(w[2 * o :], 2, 0).reshape(-1, k), mode="drop"
+        )
+    return jnp.concatenate([top[:m1], bout], axis=0)
+
+
+@highest_precision
+def _seg_q_program(
+    factors, meta, v2, *, S, R, nrows, m1, nbot, nbot2, rbot_max, o, h1
+):
+    """Inverse of :func:`_seg_qt_program`: chain Q + blockdiag Qb on the
+    bottom region, then the per-segment Q in natural row order."""
+    k = v2.shape[1]
+    vb = v2[m1:]
+    z = factors["chain_seq"].apply_q(vb[:nbot2]).reshape(S, 2 * o, k)
+    if rbot_max > 2 * o:
+        rest = jnp.where(
+            (meta["rest_pos"] < nbot)[..., None],
+            vb[jnp.clip(meta["rest_pos"], 0, nbot - 1)],
+            jnp.zeros((), v2.dtype),
+        )
+        w = jnp.concatenate([z, rest], axis=1)
+    else:
+        w = z
+    w = _batched_wy_soa(factors["Yb"], factors["Tb"], jnp.moveaxis(w, 0, 2), False)
+    bout = jnp.zeros((nbot, k), v2.dtype)
+    bout = bout.at[meta["rbot_gather"].reshape(-1)].set(
+        jnp.moveaxis(w, 2, 0).reshape(-1, k), mode="drop"
+    )
+    full = jnp.concatenate([v2[:m1], bout], axis=0)
+    nat = full[meta["row_order_inv"]]
+    vs = jnp.where(
+        meta["seg_valid"][..., None],
+        nat[jnp.clip(meta["seg_gather"], 0, nrows - 1)],
+        jnp.zeros((), v2.dtype),
+    )
+    out = _segment_apply(
+        jnp.moveaxis(factors["Yws"], -1, 0), jnp.moveaxis(factors["Ts"], -1, 0),
+        meta["starts"], meta["rows2d"], meta["carry2d"],
+        vs, h1, False, False,
+    )
+    flat = out.reshape(S * R, k)
+    scatter = jnp.zeros((nrows, k), v2.dtype)
+    return scatter.at[meta["seg_gather"].reshape(-1)].set(flat, mode="drop")
+
+
 class SegmentedBandedQR(QRSolver):
     """Banded QR with segment-parallel factorization (drop-in for
     :class:`BandedBlockedQR` on uniform chains; falls back to it otherwise).
@@ -641,7 +729,10 @@ class SegmentedBandedQR(QRSolver):
             raise ValueError("overlap exceeds column step; use BandedBlockedQR")
         self.geom = g
         # invalidate lazy per-plan caches before rebuilding
-        for attr in ("_seg_gather", "_col_gather", "_fac_fn", "_solve_fn"):
+        for attr in (
+            "_seg_gather", "_col_gather", "_fac_fn", "_solve_fn",
+            "_apply_fns", "_solve_mat_fn",
+        ):
             if hasattr(self, attr):
                 delattr(self, attr)
         self._panel_gmap = None
@@ -1683,106 +1774,53 @@ class SegmentedBandedQR(QRSolver):
         self._row_order = _imap(order)
         self._row_order_inv = _imap(np.argsort(np.asarray(order)))
 
-    def _apply_left_qt(self, v):
-        """blockdiag(Q_sᵀ) v, reordered so R-space rows come first."""
-        self._gather_maps()
-        vec = v.ndim == 1
-        v2 = v[:, None] if vec else v
-        k = v2.shape[1]
-        vs = jnp.where(
-            self._seg_valid[..., None],
-            v2[jnp.clip(self._seg_gather, 0, self._nrows - 1)],
-            jnp.zeros((), v2.dtype),
-        )  # [S, R, k]
-        out = _segment_apply(
-            jnp.moveaxis(self._Yws, -1, 0), jnp.moveaxis(self._Ts, -1, 0),
-            self._starts, self._rows2d, self._carry2d,
-            vs, self._kw["max_carry"], True, False,
-        )
-        flat = out.reshape(self.S * self._max_seg_rows, k)
-        # un-pad back to global ordering, then reorder R-rows-first
-        scatter = jnp.zeros((self._nrows, k), v2.dtype)
-        scatter = scatter.at[self._seg_gather.reshape(-1)].set(flat, mode="drop")
-        res = scatter[self._row_order]
-        return res[:, 0] if vec else res
-
-    def _apply_left_q(self, v):
-        self._gather_maps()
-        vec = v.ndim == 1
-        v2 = v[:, None] if vec else v
-        k = v2.shape[1]
-        nat = v2[self._row_order_inv]
-        vs = jnp.where(
-            self._seg_valid[..., None],
-            nat[jnp.clip(self._seg_gather, 0, self._nrows - 1)],
-            jnp.zeros((), v2.dtype),
-        )
-        out = _segment_apply(
-            jnp.moveaxis(self._Yws, -1, 0), jnp.moveaxis(self._Ts, -1, 0),
-            self._starts, self._rows2d, self._carry2d,
-            vs, self._kw["max_carry"], False, False,
-        )
-        flat = out.reshape(self.S * self._max_seg_rows, k)
-        scatter = jnp.zeros((self._nrows, k), v2.dtype)
-        scatter = scatter.at[self._seg_gather.reshape(-1)].set(flat, mode="drop")
-        return scatter[:, 0] if vec else scatter
-
-    # --- bottom-region Q (compressed boundary reduction) -------------------------
-    def _bot_qt(self, v2: jnp.ndarray) -> jnp.ndarray:
-        """blockdiag(Qbᵀ) then chain Qᵀ on the [nbot, k] bottom region;
-        output rows: chain coordinates (R2 rows first) then pass-through."""
-        o = self._overlap
-        k = v2.shape[1]
-        # SoA throughout ([rbot, k, S], matching the Yb store): transposing
-        # Yb to AoS would materialize its 128/(2o)-fold lane-padded form
-        w = jnp.where(
-            self._rbot_valid_t[:, None, :],
-            jnp.moveaxis(
-                v2[jnp.clip(self._rbot_gather_t, 0, self._nbot - 1)], 1, 2
-            ),
-            jnp.zeros((), v2.dtype),
-        )  # [rbot_max, k, S]
-        w = _batched_wy_soa(self._Yb, self._Tb, w, True)
-        z = self._chain_seq.apply_qt(
-            jnp.moveaxis(w[: 2 * o], 2, 0).reshape(self._nbot2, k)
-        )
-        out = jnp.zeros((self._nbot, k), v2.dtype)
-        out = out.at[: self._nbot2].set(z)
-        if self._rbot_max > 2 * o:
-            out = out.at[self._rest_pos.reshape(-1)].set(
-                jnp.moveaxis(w[2 * o :], 2, 0).reshape(-1, k), mode="drop"
-            )
-        return out
-
-    def _bot_q(self, v2: jnp.ndarray) -> jnp.ndarray:
-        """Inverse of :meth:`_bot_qt`: chain Q, then blockdiag(Qb)."""
-        o = self._overlap
-        k = v2.shape[1]
-        z = self._chain_seq.apply_q(v2[: self._nbot2]).reshape(self.S, 2 * o, k)
-        if self._rbot_max > 2 * o:
-            rest = jnp.where(
-                (self._rest_pos < self._nbot)[..., None],
-                v2[jnp.clip(self._rest_pos, 0, self._nbot - 1)],
-                jnp.zeros((), v2.dtype),
-            )
-            w = jnp.concatenate([z, rest], axis=1)
-        else:
-            w = z
-        w = _batched_wy_soa(self._Yb, self._Tb, jnp.moveaxis(w, 0, 2), False)
-        out = jnp.zeros((self._nbot, k), v2.dtype)
-        return out.at[self._rbot_gather.reshape(-1)].set(
-            jnp.moveaxis(w, 2, 0).reshape(-1, k), mode="drop"
-        )
-
     # --- QRSolver interface -----------------------------------------------------
+    def _apply_factors(self):
+        """The factor pytree passed into the jitted apply programs — every
+        device array is a jit ARGUMENT (a closure-captured device array would
+        be baked into the executable as a constant via a host round trip)."""
+        return dict(
+            Yws=self._Yws, Ts=self._Ts, Yb=self._Yb, Tb=self._Tb,
+            chain_seq=self._chain_seq,
+        )
+
+    def _apply_meta(self):
+        """Per-plan device index maps consumed by the apply programs."""
+        self._gather_maps()
+        return dict(
+            starts=self._starts, rows2d=self._rows2d, carry2d=self._carry2d,
+            seg_gather=self._seg_gather, seg_valid=self._seg_valid,
+            row_order=self._row_order, row_order_inv=self._row_order_inv,
+            rbot_gather=self._rbot_gather, rbot_gather_t=self._rbot_gather_t,
+            rbot_valid_t=self._rbot_valid_t, rest_pos=self._rest_pos,
+        )
+
+    def _get_apply_fns(self):
+        """Jitted one-dispatch Q/Qᵀ matrix programs, cached per plan.
+
+        The old eager composition (per-segment apply → scatter → reorder →
+        bottom Qb → chain → scatter) issued ~8 primitive dispatches per
+        apply; through a remote-accelerator tunnel each costs a round trip."""
+        if getattr(self, "_apply_fns", None) is None:
+            st = dict(
+                S=self.S, R=self._max_seg_rows, nrows=self._nrows,
+                m1=self._m1, nbot=self._nbot, nbot2=self._nbot2,
+                rbot_max=self._rbot_max, o=self._overlap,
+                h1=self._kw["max_carry"],
+            )
+            self._apply_fns = (
+                jax.jit(functools.partial(_seg_qt_program, **st)),
+                jax.jit(functools.partial(_seg_q_program, **st)),
+            )
+        return self._apply_fns
+
     def apply_qt(self, m: jnp.ndarray) -> jnp.ndarray:
         if self._delegate is not None:
             return self._delegate.apply_qt(m)
         vec = m.ndim == 1
         m2 = m[:, None] if vec else m
-        top = self._apply_left_qt(m2)
-        bottom = self._bot_qt(top[self._m1 :])
-        out = jnp.concatenate([top[: self._m1], bottom], axis=0)
+        qt, _ = self._get_apply_fns()
+        out = qt(self._apply_factors(), self._apply_meta(), m2)
         return out[:, 0] if vec else out
 
     def apply_q(self, m: jnp.ndarray) -> jnp.ndarray:
@@ -1790,9 +1828,8 @@ class SegmentedBandedQR(QRSolver):
             return self._delegate.apply_q(m)
         vec = m.ndim == 1
         m2 = m[:, None] if vec else m
-        bottom = self._bot_q(m2[self._m1 :])
-        full = jnp.concatenate([m2[: self._m1], bottom], axis=0)
-        out = self._apply_left_q(full)
+        _, q = self._get_apply_fns()
+        out = q(self._apply_factors(), self._apply_meta(), m2)
         return out[:, 0] if vec else out
 
     def _ensure_col_gather(self):
@@ -1876,7 +1913,17 @@ class SegmentedBandedQR(QRSolver):
         trip)."""
         if self._delegate is not None:
             return self._delegate.solve(b)
-        if b.ndim != 1:  # matrix RHS: protocol path (vmapped solve_r)
+        if b.ndim != 1:
+            # matrix RHS: fused one-dispatch program for the lane-major k ≤ 16
+            # regime; wider RHS fall back to the protocol path (k ≥ 128 fills
+            # the lanes on its own, so the row-major default is already fine)
+            if 1 <= b.shape[1] <= 16:
+                fn = self._get_solve_mat_fn()
+                return fn(
+                    self._Yws, self._Ts, self._Yb, self._Tb, self._chain_seq,
+                    self._chain_r, self._j2_top, self._r_panels, b,
+                    self._sol_meta,
+                )
             return super().solve(b)
         fn = self._get_solve_fn()
         return fn(
@@ -2010,6 +2057,122 @@ class SegmentedBandedQR(QRSolver):
 
         self._solve_fn = sol
         return sol
+
+    def _get_solve_mat_fn(self):
+        """Fused least-squares solve for a [m, k] RHS (k ≤ 16), ONE compiled
+        dispatch per (plan, k) — the protocol default (eager apply_qt +
+        vmapped solve_r + gather) issues a dispatch round trip per primitive.
+
+        Same pipeline as the vector program in :meth:`_get_solve_fn`, with the
+        lane-major work buffers widened from k=1 to k columns and the two
+        back-substitutions vmapped over the RHS axis."""
+        if getattr(self, "_solve_mat_fn", None) is not None:
+            return self._solve_mat_fn
+        from .banded_blocked import banded_solve_r
+
+        self._get_solve_fn()  # builds + caches self._sol_meta
+        m1, m2, o = self._m1, self._m2, self._overlap
+        S, mc, nloc_max = self.S, self._max_cols, self._nloc_max
+        ckw = dict(self._chain_kw)
+        h1 = self._kw["max_carry"]
+        nrows_tot, max_emit = self._nrows, self._max_emit
+        has_perm = not self._cols_perm.is_identity()
+        nbot, nbot2 = self._nbot, self._nbot2
+        p2u = self._p2_uniform
+        nuni = self._p2_nuni
+        p2s = getattr(self, "_p2_static", None) if p2u else None
+        p2g = getattr(self, "_p2_gen_static", None) if p2u else None
+        bsu = p2u and self._bs_uniform
+        bs_nuni = self._bs_nuni if bsu else 0
+
+        @jax.jit
+        def sol_mat(Yws, Ts, Yb, Tb, chain_seq, chain_r, j2_top, r_panels, b2, meta):
+            dt = b2.dtype
+            k = b2.shape[1]
+            Yws = jnp.moveaxis(Yws, -1, 0)
+            Ts = jnp.moveaxis(Ts, -1, 0)
+            r_panels = jnp.moveaxis(r_panels, -1, 0)
+            seg_gather, seg_valid = meta["seg_gather"], meta["seg_valid"]
+            col_gather, col_valid = meta["col_gather"], meta["col_valid"]
+            vt = jnp.where(
+                seg_valid[:, None, :],
+                jnp.moveaxis(
+                    b2[jnp.clip(seg_gather, 0, nrows_tot - 1)], 1, 2
+                ),
+                jnp.zeros((), dt),
+            )  # [S, k, R]
+            out = (
+                _apply_cols_split(Yws, Ts, meta, vt, h1, True, nuni, p2s, p2g)
+                if p2u
+                else _segment_apply_cols(
+                    Yws, Ts, meta["starts"], meta["rows2d"], meta["carry2d"],
+                    vt, h1, True,
+                )
+            )
+            scat = jnp.zeros((nrows_tot, k), dt)
+            scat = scat.at[seg_gather.reshape(-1)].set(
+                jnp.moveaxis(out, 1, 2).reshape(-1, k), mode="drop"
+            )
+            top = scat[meta["row_order"]]
+            w = jnp.where(
+                meta["rbot_valid_t"][:, None, :],
+                jnp.moveaxis(
+                    top[m1:][jnp.clip(meta["rbot_gather_t"], 0, nbot - 1)], 1, 2
+                ),
+                jnp.zeros((), dt),
+            )  # [rbot_max, k, S]
+            w2o = _batched_wy_soa(Yb, Tb, w, True, out_rows=2 * o)
+            ybot = jnp.moveaxis(w2o, 2, 0).reshape(nbot2, k)
+            ybot = chain_seq.apply_qt(ybot)
+            x2 = jax.vmap(
+                lambda y: banded_solve_r(
+                    chain_r, meta["cols_d"], meta["emit_d"], meta["ncols_d"],
+                    y, max_emit=ckw["max_emit"], max_cols=ckw["max_cols"], n=m2,
+                ),
+                in_axes=1, out_axes=1,
+            )(ybot[:m2])  # [m2, k]
+            x2pad = jnp.concatenate(
+                [jnp.zeros((o, k), dt), x2, jnp.zeros((o, k), dt)]
+            )
+            contrib = highest_precision(jnp.einsum)(
+                "sjn,sjk->snk", j2_top, x2pad[meta["x2_idx"]]
+            )
+            idx_top = jnp.where(
+                col_valid[:, :nloc_max], col_gather[:, :nloc_max], m1
+            )
+            rhs1 = top[:m1] - jnp.zeros((m1, k), dt).at[idx_top].add(
+                contrib, mode="drop"
+            )
+            ypad = jnp.where(
+                col_valid[..., None], rhs1[col_gather], jnp.zeros((), dt)
+            )  # [S, nloc+mc, k]
+            if bsu:
+                xs = jax.vmap(
+                    lambda yp: _interior_backsub_split(
+                        yp, r_panels, meta, max_emit, mc, bs_nuni
+                    ),
+                    in_axes=2, out_axes=2,
+                )(ypad)
+            else:
+                xs = jax.vmap(
+                    lambda yp: jax.vmap(
+                        lambda xp, ypp, rp, cs, er, nc, act: _banded_solve_chunk(
+                            xp, ypp, rp, cs, er, nc, act,
+                            max_emit=max_emit, max_cols=mc,
+                        )
+                    )(
+                        jnp.zeros_like(yp), yp, r_panels, meta["starts"],
+                        meta["emit2d"], meta["ncols_loc_d"], meta["active_d"],
+                    ),
+                    in_axes=2, out_axes=2,
+                )(ypad)
+            idx = jnp.where(col_valid, col_gather, m1)
+            x1 = jnp.zeros((m1, k), dt).at[idx].set(xs, mode="drop")
+            z = jnp.concatenate([x1, x2])
+            return z[meta["gather_cols"]] if has_perm else z
+
+        self._solve_mat_fn = sol_mat
+        return sol_mat
 
     def matrix_r_dense(self) -> jnp.ndarray:
         """Dense R in the P_split column order (tests)."""

@@ -55,6 +55,31 @@ def test_multi_rhs_segmented(rng):
     _check_multi_rhs(qr, mat.to_dense(), rng)
 
 
+def test_multi_rhs_segmented_fused_vs_protocol(rng):
+    """The fused one-dispatch matrix-RHS program (k ≤ 16) matches the
+    protocol-default path, never falls back to eager applies, and the wide
+    (k > 16) route still agrees column-for-column."""
+    from qrkit_tpu.solvers.base import QRSolver
+
+    mat = overlapping_block_diagonal_matrix(512, 1792, rng, permute_rows=False)
+    qr = SegmentedBandedQR(suggested_block_cols=4, segment_blocks=16).compute(mat)
+    assert qr._delegate is None
+    B = jnp.asarray(rng.normal(size=(mat.shape[0], 20)))
+    Xp = np.asarray(QRSolver.solve(qr, B[:, :8]))  # protocol (eager) path
+    # the fused path must not touch the eager protocol machinery at all
+    def _boom(*a, **k):
+        raise AssertionError("fused matrix solve fell back to eager apply_qt")
+    orig = qr.apply_qt
+    qr.apply_qt = _boom
+    try:
+        Xf = np.asarray(qr.solve(B[:, :8]))
+    finally:
+        qr.apply_qt = orig
+    assert np.allclose(Xf, Xp, atol=1e-8), np.abs(Xf - Xp).max()
+    Xw = np.asarray(qr.solve(B))  # k > 16: protocol fallback, same answers
+    assert np.allclose(Xw[:, :8], Xp, atol=1e-8)
+
+
 def test_multi_rhs_block_angular(rng):
     mat = block_angular_matrix(32, 3, 112, rng)
     left = mat.slice_cols(0, 32)
