@@ -653,6 +653,41 @@ class BandedBlockedQR(QRSolver):
         BandedBlockedSparseQR.h:741-765; see CompactWYSeq.to_sparse_q."""
         return self.q_seq.to_sparse_q()
 
+    # --- sparse-operand Q products (BandedBlockedSparseQR.h:693-700) --------------
+    def _sparse_apply_parts(self, transpose: bool):
+        """(fill_fn, apply_fn) for the fused sparse Q-product machinery
+        (:mod:`~qrkit_tpu.solvers.sparse_apply`)."""
+        from .sparse_apply import banded_structural_fill
+
+        geom, nb, m = self.geom, self.plan.num_blocks, self._nrows
+
+        def fill(op, row_map):
+            return banded_structural_fill(geom, nb, m, op, transpose, row_map)
+
+        if transpose:
+            apply_fn = lambda factors, meta, M: factors.apply_qt(M)  # noqa: E731
+        else:
+            apply_fn = lambda factors, meta, M: factors.apply_q(M)  # noqa: E731
+        return fill, apply_fn
+
+    def _sparse_apply_state(self):
+        return self.q_seq, {}
+
+    def apply_qt_sparse(self, s: SparseCSR) -> SparseCSR:
+        """``Qᵀ · S`` for a sparse operand, kept sparse end to end — the
+        reference's sparse QProduct (``matrixQ().transpose() * spMat``,
+        BandedBlockedSparseQR.h:693-700).  Plan-cached per operand layout:
+        repeated products issue one fused dispatch + one value fetch."""
+        from .sparse_apply import solver_sparse_apply
+
+        return solver_sparse_apply(self, s, True)
+
+    def apply_q_sparse(self, s: SparseCSR) -> SparseCSR:
+        """``Q · S`` for a sparse operand (BandedBlockedSparseQR.h:722-729)."""
+        from .sparse_apply import solver_sparse_apply
+
+        return solver_sparse_apply(self, s, False)
+
     def matrix_r_sparse(self):
         """Sparse banded R in O(nnz(R)) straight from the per-block panels
         (the setFromTriplets of BandedBlockedSparseQR.h:483-491, 511-512)."""

@@ -186,6 +186,25 @@ class QRSolver(abc.ABC):
         r, c = np.nonzero(R)
         return SparseCSR.from_triplets(r, c, R[r, c], R.shape)
 
+    def apply_qt_sparse(self, s):
+        """``Qᵀ · S`` for a sparse operand, returned sparse (the reference's
+        ``matrixQ().transpose() * SparseMatrix``).  Protocol default densifies
+        and prunes exact zeros; the banded family overrides this with
+        plan-cached fused programs that never build a dense [m, k]
+        intermediate (:mod:`~qrkit_tpu.solvers.sparse_apply`)."""
+        from ..sparse import SparseCSR
+
+        out = np.asarray(self.apply_qt(jnp.asarray(s.to_dense())))
+        return SparseCSR.from_dense(out)
+
+    def apply_q_sparse(self, s):
+        """``Q · S`` for a sparse operand, returned sparse (see
+        :meth:`apply_qt_sparse`)."""
+        from ..sparse import SparseCSR
+
+        out = np.asarray(self.apply_q(jnp.asarray(s.to_dense())))
+        return SparseCSR.from_dense(out)
+
     # --- parity helpers -------------------------------------------------------------
     def matrix_q_dense(self) -> jnp.ndarray:
         """Explicit dense Q (tests only) = apply_q(I)."""

@@ -385,44 +385,57 @@ class BlockAngularQR(QRSolver):
 
         The reference's sparse QProduct (BandedBlockedSparseQR.h:693, 722;
         BlockAngularSparseQR.h:360-397) lets a sparse A2 flow through the
-        implicit banded Q without a dense [n1, m2] copy.  Here Q1ᵀ is applied
-        to fixed-width COLUMN CHUNKS of A2 (peak memory O(n1·w), w ≤ 128
-        lanes) and the results are pruned back to sparsity: rows no reflector
-        window touched stay exactly zero, so the output nnz is the union of
-        the band windows each column intersects — the same fill the
-        reference's pruned sparse J2 has.  J2-top becomes the device-COO R12
-        (like the block-diagonal sparse path); bottom rows go to the right
-        solver as CSR."""
+        implicit banded Q without a dense [n1, m2] copy.  Plan-cached and
+        fused (:mod:`~qrkit_tpu.solvers.sparse_apply`): the structural fill
+        of Q1ᵀA2 is computed once per A2 layout from the band geometry, and
+        every compute issues ONE jitted chunked program (peak device memory
+        O(n1·128)) plus ONE value fetch for the bottom block — the previous
+        eager form dispatched one apply per 128-column chunk and fetched the
+        full dense result each time.  J2-top becomes the device-COO R12
+        (never leaving the device); bottom rows go to the right solver as a
+        CSR with cached structure (fill entries that cancel numerically are
+        stored as explicit zeros, like setFromTriplets without prune)."""
+        from . import sparse_apply as sa
+
         left = self.left
         m1, m2, n1 = self._m1, self._m2, self._n1
-        lperm = left.rows_permutation()
-        if not lperm.is_identity():
-            a2 = a2.permute_rows(lperm)
-        w = min(128, m2)
-        top_r, top_c, top_v = [], [], []
-        bot_r, bot_c, bot_v = [], [], []
-        all_rows = np.repeat(np.arange(n1), np.diff(a2.indptr))
-        dt = a2.data.dtype if a2.nnz else np.float64
-        for c0 in range(0, m2, w):
-            nc = min(w, m2 - c0)
-            sel = (a2.indices >= c0) & (a2.indices < c0 + nc)
-            dense = np.zeros((n1, nc), dtype=dt)
-            dense[all_rows[sel], a2.indices[sel] - c0] = a2.data[sel]
-            j2 = np.asarray(left.apply_qt(jnp.asarray(dense)))
-            r, c = np.nonzero(j2[:m1])
-            top_r.append(r)
-            top_c.append(c + c0)
-            top_v.append(j2[r, c])
-            r, c = np.nonzero(j2[m1:])
-            bot_r.append(r)
-            bot_c.append(c + c0)
-            bot_v.append(j2[m1 + r, c])
-        self._top_rows_dev = jnp.asarray(np.concatenate(top_r))
-        self._top_cols = np.concatenate(top_c)
-        self._top_vals_dev = jnp.asarray(np.concatenate(top_v))
-        return SparseCSR.from_triplets(
-            np.concatenate(bot_r), np.concatenate(bot_c), np.concatenate(bot_v),
-            (n1 - m1, m2),
+        key = ("banded_a2",) + self._a2_cache_key(a2)
+        ent = self._plan_cache.get("banded_a2")
+        if ent is None or ent["key"] != key:
+            lperm = left.rows_permutation()
+            row_map = None if lperm.is_identity() else lperm.indices
+            fill_fn, apply_fn = left._sparse_apply_parts(True)
+            fr, fc = fill_fn(a2, row_map)
+            plan = sa.build_fused_sparse_apply(apply_fn, fr, fc, a2, n1, row_map)
+            top = fr < m1
+            b_r, b_c = fr[~top] - m1, fc[~top]
+            order_b = np.lexsort((b_c, b_r))
+            indptr = np.zeros(n1 - m1 + 1, dtype=np.int64)
+            np.add.at(indptr, b_r + 1, 1)
+            ent = dict(
+                key=key, plan=plan,
+                top_sel=jnp.asarray(plan["flat_pos"][top]),
+                bot_sel=jnp.asarray(plan["flat_pos"][~top][order_b]),
+                top_rows_dev=jnp.asarray(fr[top]),
+                top_cols=fc[top],
+                bot_indptr=np.cumsum(indptr),
+                bot_indices=b_c[order_b],
+            )
+            self._plan_cache["banded_a2"] = ent
+        import jax
+
+        dtype = np.float64 if jax.config.jax_enable_x64 else np.float32
+        factors, meta = left._sparse_apply_state()
+        top_vals, bot_vals = ent["plan"]["run"](
+            factors, meta, jnp.asarray(np.asarray(a2.data, dtype)),
+            ent["plan"]["maps"], (ent["top_sel"], ent["bot_sel"]),
+        )
+        self._top_rows_dev = ent["top_rows_dev"]
+        self._top_cols = ent["top_cols"]
+        self._top_vals_dev = top_vals
+        return SparseCSR(
+            (n1 - m1, m2), ent["bot_indptr"], ent["bot_indices"],
+            np.asarray(bot_vals),
         )
 
     def r_diagonal(self) -> jnp.ndarray:

@@ -1832,6 +1832,39 @@ class SegmentedBandedQR(QRSolver):
         out = q(self._apply_factors(), self._apply_meta(), m2)
         return out[:, 0] if vec else out
 
+    # --- sparse-operand Q products (BandedBlockedSparseQR.h:693-700) --------------
+    def _sparse_apply_parts(self, transpose: bool):
+        """(fill_fn, apply_fn) for the fused sparse Q-product machinery
+        (:mod:`~qrkit_tpu.solvers.sparse_apply`)."""
+        if self._delegate is not None:
+            return self._delegate._sparse_apply_parts(transpose)
+        from .sparse_apply import segmented_structural_fill
+
+        def fill(op, row_map):
+            return segmented_structural_fill(self, op, transpose, row_map)
+
+        qt, q = self._get_apply_fns()
+        return fill, (qt if transpose else q)
+
+    def _sparse_apply_state(self):
+        if self._delegate is not None:
+            return self._delegate._sparse_apply_state()
+        return self._apply_factors(), self._apply_meta()
+
+    def apply_qt_sparse(self, s: SparseCSR) -> SparseCSR:
+        """``Qᵀ · S`` for a sparse operand, kept sparse end to end
+        (the reference's ``matrixQ().transpose() * spMat``,
+        BandedBlockedSparseQR.h:693-700); plan-cached per operand layout."""
+        from .sparse_apply import solver_sparse_apply
+
+        return solver_sparse_apply(self, s, True)
+
+    def apply_q_sparse(self, s: SparseCSR) -> SparseCSR:
+        """``Q · S`` for a sparse operand (BandedBlockedSparseQR.h:722-729)."""
+        from .sparse_apply import solver_sparse_apply
+
+        return solver_sparse_apply(self, s, False)
+
     def _ensure_col_gather(self):
         """Lazy per-plan column maps: padded per-segment column slot -> global
         column (used by the interior back-substitution and the fused solve)."""
