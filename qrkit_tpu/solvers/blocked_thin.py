@@ -119,49 +119,92 @@ class BlockedThinDenseQR(QRSolver):
         )[:, 0]
 
 
-@functools.partial(jax.jit, static_argnames=("c", "maxh", "nfull"))
+def _height_runs(heights: List[int], c: int) -> tuple:
+    """Group consecutive full-width panels into runs of equal *height bucket*
+    (next power of two ≥ the panel's sparsity extent, capped at max(heights)).
+    Static plan data: ``((count, bucket_height), ...)``.
+
+    Bucketing bounds padded work at 2× the true extent while keeping the
+    number of distinct compiled scan bodies O(log(maxh/c)); the cap keeps the
+    worst case no worse than the old uniform-``maxh`` scan."""
+    maxh = max(heights)
+    runs: List[List[int]] = []
+    for h in heights:
+        hb = min(max(c, 1 << (int(h) - 1).bit_length()), maxh)
+        if runs and runs[-1][1] == hb:
+            runs[-1][0] += 1
+        else:
+            runs.append([1, hb])
+    return tuple((cnt, hb) for cnt, hb in runs)
+
+
+@functools.partial(jax.jit, static_argnames=("c", "runs", "maxh"))
 @highest_precision
-def _thin_sparse_factorize_scan(workpad: jnp.ndarray, c: int, maxh: int, nfull: int):
-    """All full-width panels of the thin sparse factorization as ONE
-    ``lax.scan`` — O(1) dispatches per factorize instead of two jitted calls
-    plus host slicing per panel (~500 tunnel round trips at n=512, c=2).
+def _thin_sparse_factorize_runs(workpad: jnp.ndarray, c: int, runs: tuple,
+                                maxh: int):
+    """All full-width panels of the thin sparse factorization as ONE jitted
+    program — O(1) dispatches per factorize instead of two jitted calls plus
+    host slicing per panel (~500 tunnel round trips at n=512, c=2).
+
+    The panel sequence is split into the static ``runs`` of
+    :func:`_height_runs`; each run is a ``lax.scan`` whose panel/window
+    slices are that run's bucket height, so per-panel trailing-update work is
+    O(h_p·n) tracking the sparsity extents of ``_panel_heights`` (the
+    reference's updateBlockInfo economy, BlockedThinSparseQR.h:203-236)
+    rather than O(maxh·n) — previously every panel paid the global maximum.
 
     ``workpad`` is the dense working matrix padded with ``maxh`` zero rows so
-    every [maxh, c] panel slice is in-bounds.  Panel sparsity extents need no
-    explicit bookkeeping on the device: rows past a panel's nnz extent are
-    structurally zero, Householder reflectors inherit those zeros, and the
-    trailing compact-WY update is therefore an exact identity there — the
-    padded panel computes bit-for-bit the same factors as the extent-sliced
-    one (zeros are exact identity elements of every sum involved).
+    every [hb, c] panel slice is in-bounds.  Rows past a panel's true nnz
+    extent (≤ its bucket height) are structurally zero, Householder
+    reflectors inherit those zeros, and the trailing compact-WY update is an
+    exact identity there — the bucket-padded panel computes bit-for-bit the
+    same factors as the extent-sliced one (zeros are exact identity elements
+    of every sum involved).
 
     Returns (workpad, Ys [nfull, maxh, c], Ts [nfull, c, c],
-    lperms [nfull, c]).
+    lperms [nfull, c]); Y rows above each run's bucket are zero.
     """
     mpad, n = workpad.shape
     col_iota = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+    dt = workpad.dtype
 
-    def body(wp, i):
-        p0 = i * c
-        zero = jnp.zeros((), p0.dtype)
-        # in-panel ColPiv on the unpermuted panel, then the full-height
-        # column reorder (incl. rows above the diagonal — the R assembly of
-        # BlockedThinSparseQR.h:271-279)
-        panel = jax.lax.dynamic_slice(wp, (p0, p0), (maxh, c))
-        Y, taus, Rsub, lperm = colpiv_householder_qr(panel)
-        T = build_t_factor(Y, taus)
-        colwin = jax.lax.dynamic_slice(wp, (zero, p0), (mpad, c))
-        wp = jax.lax.dynamic_update_slice(wp, colwin[:, lperm], (zero, p0))
-        # trailing update on columns past the panel; R written into the panel
-        win = jax.lax.dynamic_slice(wp, (p0, zero), (maxh, n))
-        upd = apply_wy(Y, T, win, transpose=True)
-        win = jnp.where((col_iota >= p0 + c)[None, :], upd, win)
-        win = jax.lax.dynamic_update_slice(win, jnp.triu(Rsub), (zero, p0))
-        wp = jax.lax.dynamic_update_slice(wp, win, (p0, zero))
-        return wp, (Y, T, lperm)
+    def make_body(hb):
+        def body(wp, i):
+            p0 = i * c
+            zero = jnp.zeros((), p0.dtype)
+            # in-panel ColPiv on the unpermuted panel, then the full-height
+            # column reorder (incl. rows above the diagonal — the R assembly
+            # of BlockedThinSparseQR.h:271-279)
+            panel = jax.lax.dynamic_slice(wp, (p0, p0), (hb, c))
+            Y, taus, Rsub, lperm = colpiv_householder_qr(panel)
+            T = build_t_factor(Y, taus)
+            colwin = jax.lax.dynamic_slice(wp, (zero, p0), (mpad, c))
+            wp = jax.lax.dynamic_update_slice(wp, colwin[:, lperm], (zero, p0))
+            # trailing update on columns past the panel; R into the panel
+            win = jax.lax.dynamic_slice(wp, (p0, zero), (hb, n))
+            upd = apply_wy(Y, T, win, transpose=True)
+            win = jnp.where((col_iota >= p0 + c)[None, :], upd, win)
+            win = jax.lax.dynamic_update_slice(win, jnp.triu(Rsub), (zero, p0))
+            wp = jax.lax.dynamic_update_slice(wp, win, (p0, zero))
+            return wp, (Y, T, lperm)
 
-    steps = jnp.arange(nfull, dtype=jnp.int32)
-    workpad, (Ys, Ts, lperms) = jax.lax.scan(body, workpad, steps)
-    return workpad, Ys, Ts, lperms
+        return body
+
+    Y_parts, T_parts, lp_parts = [], [], []
+    i0 = 0
+    for cnt, hb in runs:
+        steps = jnp.arange(i0, i0 + cnt, dtype=jnp.int32)
+        workpad, (Ys, Ts, lps) = jax.lax.scan(make_body(hb), workpad, steps)
+        if hb < maxh:  # uniform stack height for CompactWYSeq
+            Ys = jnp.concatenate(
+                [Ys, jnp.zeros((cnt, maxh - hb, c), dt)], axis=1
+            )
+        Y_parts.append(Ys)
+        T_parts.append(Ts)
+        lp_parts.append(lps)
+        i0 += cnt
+    cat = (lambda xs: xs[0] if len(xs) == 1 else jnp.concatenate(xs, axis=0))
+    return workpad, cat(Y_parts), cat(T_parts), cat(lp_parts)
 
 
 class BlockedThinSparseQR(QRSolver):
@@ -174,9 +217,11 @@ class BlockedThinSparseQR(QRSolver):
     rank-deficient solves complete the decomposition (one small ColPiv QR of
     R) and return the residual-optimal basic solution.
 
-    ``fused=True`` (default) runs all full-width panels as one compiled
-    ``lax.scan`` (one dispatch per factorize); ``fused=False`` keeps the
-    eager per-panel loop (regression cross-check — identical factors).
+    ``fused=True`` (default) runs all full-width panels as ONE compiled
+    program (one dispatch per factorize) built from height-bucketed
+    ``lax.scan`` runs, so each panel's work is O(h_p·n) per its sparsity
+    extent; ``fused=False`` keeps the eager per-panel loop (regression
+    cross-check — identical factors).
     """
 
     _health_check_zero_pivot = False  # rank-revealing: deficiency reported via rank()
@@ -260,12 +305,14 @@ class BlockedThinSparseQR(QRSolver):
         house = np.arange(n, dtype=np.int64)
         nfull = n // c
         if self.fused and nfull > 0:
-            # all full-width panels in ONE compiled scan; the device never
-            # round-trips per panel (panel extents are honored implicitly by
-            # the zero structure — see _thin_sparse_factorize_scan)
+            # all full-width panels in ONE compiled program (one scan per
+            # height-bucket run); the device never round-trips per panel and
+            # per-panel work tracks the sparsity extents of _panel_heights
+            # (see _thin_sparse_factorize_runs)
+            runs = _height_runs(heights[:nfull], c)
             workpad = jnp.concatenate([working, jnp.zeros((maxh, n), dt)], axis=0)
-            workpad, Y_stack, T_stack, lperms = _thin_sparse_factorize_scan(
-                workpad, c, maxh, nfull
+            workpad, Y_stack, T_stack, lperms = _thin_sparse_factorize_runs(
+                workpad, c, runs, maxh
             )
             working = workpad[: self._m]
             lp = np.asarray(lperms)  # ONE fetch for every panel's pivots
