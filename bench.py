@@ -147,9 +147,19 @@ def main():
         def _extract_x(xdev):
             return np.asarray(xdev, np.float64)[:, :NB].T.reshape(-1)
 
-        def _probe(x_soa):  # scalar the chained carry depends on
-            return x_soa[0, 0]
+        def _chain_body(carry, a, b):
+            # data dependency via the kernel's SMEM rhs scale + SMEM step-norm
+            # output: every solve's rhs depends on the previous solution at
+            # ZERO extra HBM traffic, and the carry is derived from the
+            # in-kernel Σx² reduction, so no post-kernel HBM read of x either
+            # (an x[0, 0] probe cost ~0.8 µs/iter re-reading an output tile;
+            # an XLA-side full-rhs rescale cost +61% of the kernel's traffic)
+            x, sn = pallas_block_diagonal_lstsq_soa(
+                a, b, b_scale=carry, stepnorm=True
+            )
+            return 1.0 + 1e-12 * sn, None
 
+        chain_init = jnp.float32(1.0)
         bytes_moved = (BR * BC + BR + BC) * npad * 4
     except Exception as e:  # lowering/compile errors vary by backend version
         path_used = "xla"
@@ -165,37 +175,50 @@ def main():
         def _extract_x(xdev):
             return np.asarray(xdev, np.float64)
 
-        def _probe(x):
-            return x[0]
-
-        bytes_moved = (BR * BC + BR + BC) * NB * 4
-
-    @functools.partial(jax.jit, static_argnames=("iters",))
-    def chained(a, b, iters):
-        def body(carry, _):
+        def _chain_body(carry, a, b):
             x = _solve(a, carry)
             # multiplicative nudge keeps every solve data-dependent on the
-            # previous one; costs one extra pass over b per iteration (~15%
-            # of the kernel's own traffic — counted against us, not for us).
+            # previous one; costs one extra pass over b per iteration.
             # (A single-element at[].add() would be O(1) traffic but sends
             # the TPU backend into a pathological >20-minute compile.)
-            return carry * (1.0 + 1e-12 * _probe(x)), _probe(x)
+            return carry * (1.0 + 1e-12 * x[0]), None
 
-        final, xs = jax.lax.scan(body, b, None, length=iters)
-        return xs
+        chain_init = op_b
+        bytes_moved = (BR * BC + BR + BC) * NB * 4
+
+    # chain_init rides as a jit ARGUMENT — a closure-captured device array
+    # would be baked into the executable via a trace-time fetch (CLAUDE.md:
+    # baked multi-MB constants degraded every later transfer in the process)
+    @functools.partial(jax.jit, static_argnames=("iters",))
+    def chained(a, b, init, iters):
+        def body(carry, _):
+            return _chain_body(carry, a, b)
+
+        final, _ = jax.lax.scan(body, init, None, length=iters)
+        # the final carry depends on EVERY solve in the chain; returning it
+        # (rather than stacking per-iter probes) also drops the per-iteration
+        # dynamic-update-slice the xs collection used to pay
+        return final.ravel()[0]
 
     # correctness gate: fp32 relative residual of a single solve
     x = _extract_x(_solve(op_a, op_b))
     resid = np.einsum("bij,bj->bi", blocks_np, x.reshape(NB, BC)).reshape(-1) - b_np
     rel_resid = np.linalg.norm(resid) / np.linalg.norm(b_np)
     assert rel_resid < 1e-4, f"fp32 residual gate failed: {rel_resid}"
+    if path_used == "pallas":
+        # the timed loop runs the SMEM-scaled kernel variant; at scale 1 it
+        # must reproduce the gated solution
+        xs1 = _extract_x(
+            pallas_block_diagonal_lstsq_soa(op_a, op_b, b_scale=jnp.float32(1.0))
+        )
+        assert np.allclose(xs1, x, rtol=0, atol=1e-6), "scaled-kernel mismatch"
 
     def wall(iters: int, reps: int = 3) -> float:
-        np.asarray(chained(op_a, op_b, iters=iters))  # compile + warm
+        np.asarray(chained(op_a, op_b, chain_init, iters=iters))  # compile + warm
         best = float("inf")
         for _ in range(reps):
             t0 = time.time()
-            np.asarray(chained(op_a, op_b, iters=iters))
+            np.asarray(chained(op_a, op_b, chain_init, iters=iters))
             best = min(best, time.time() - t0)
         return best
 

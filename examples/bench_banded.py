@@ -20,11 +20,26 @@ import jax
 import jax.numpy as jnp
 
 sys.path.insert(0, ".")
+from bench import _peak_hbm_bytes_per_s
 from qrkit_tpu.solvers import BandedBlockedQR, SegmentedBandedQR
 from qrkit_tpu.sparse import SparseCSR
 
 BR, BC, OV = 21, 10, 4
 STEP = BC - OV
+
+
+def _factor_bytes(qr) -> int:
+    """HBM bytes of the factor state one factorize writes (and one solve
+    reads back): compact-WY Y/T stores + R panels (+ the segmented solver's
+    boundary-chain factors and index maps).  This is the roofline-minimum
+    traffic — actual kernels may move more, never less."""
+    inner = qr._delegate if getattr(qr, "_delegate", None) is not None else qr
+    if hasattr(inner, "_apply_factors"):  # segmented (non-delegated)
+        leaves = jax.tree_util.tree_leaves(inner._apply_factors())
+        leaves.append(inner._r_panels)
+    else:  # plain banded chain (Yf/Tf: the flattened compact-WY leaves)
+        leaves = [inner.q_seq.Yf, inner.q_seq.Tf, inner._r_panels_f]
+    return int(sum(np.prod(x.shape) * x.dtype.itemsize for x in leaves))
 
 
 def banded_matrix(nb: int, rng) -> SparseCSR:
@@ -141,6 +156,8 @@ def main():
     )
     print(f"# matrix {mat.nrows}x{mat.ncols}, nnz={mat.data.size}", file=sys.stderr)
 
+    peak_bw = _peak_hbm_bytes_per_s(jax.devices()[0].device_kind)
+    itemsize = 8 if jax.config.jax_enable_x64 else 4
     for name, qr in [
         ("banded_plain", BandedBlockedQR(suggested_block_cols=BC)),
         ("banded_segmented", SegmentedBandedQR(suggested_block_cols=BC, segment_blocks=32)),
@@ -150,12 +167,24 @@ def main():
         if small:
             xh = np.asarray(x, dtype=np.float64)
             resid = float(np.linalg.norm(xh - x_true) / np.linalg.norm(x_true))
+        # roofline per stage (VERDICT r2 item 7): device-resident refactorize
+        # reads the value vector and writes the factors; a solve reads the
+        # factors + b and writes x.  The host-fed factorize stage is dominated
+        # by host assembly + tunnel upload, so an HBM fraction would be
+        # meaningless there — its honest absolute measure is refactorize.
+        fbytes = _factor_bytes(qr)
+        refac_bytes = mat.data.size * itemsize + fbytes
+        solve_bytes = fbytes + (mat.nrows + mat.ncols) * itemsize
         print(json.dumps({
             "solver": name,
             "nblocks": nb,
             "factorize_ms": round(fac * 1e3, 3),
             "refactorize_device_ms": round(refac * 1e3, 3),
             "solve_ms": round(sol * 1e3, 3),
+            "refactorize_bytes_moved": refac_bytes,
+            "refactorize_hbm_frac": round(refac_bytes / refac / peak_bw, 4),
+            "solve_bytes_moved": solve_bytes,
+            "solve_hbm_frac": round(solve_bytes / sol / peak_bw, 4),
             "rel_err": resid,
             "backend": jax.default_backend(),
         }))

@@ -42,6 +42,7 @@ __all__ = [
 
 _LANE = 128
 _SUB = 8           # small-batch sublanes per grid step: one (8, 128) tile
+_SUB_MID = 16      # mid tier: halves the grid-step count at 1024-granularity
 _SUB_BIG = 32      # large-batch sublanes: 4x longer DMA chunks, 4x fewer steps
 _STEP = _SUB * _LANE       # 1024 blocks per grid step (small batches)
 _STEP_BIG = _SUB_BIG * _LANE  # 4096 (large batches)
@@ -51,8 +52,18 @@ _BIG_N = 65536     # batch-axis threshold above which the 4096 grid pays
 def _sub_for(n: int) -> int:
     """Sublane tile for a padded batch axis: 32 when the axis tiles the big
     grid step (measured 18-28% faster at >= 500k blocks — fewer grid steps
-    and 16 KB instead of 4 KB DMA chunks), else 8."""
-    return _SUB_BIG if n % _STEP_BIG == 0 else _SUB
+    and 16 KB instead of 4 KB DMA chunks); small batches run the WHOLE axis
+    as one grid step (total VMEM ≲ 1.5 MB at the 16k cap; per-step fixed
+    cost beat DMA/compute pipelining at every tile tried on the 10k flagship
+    point: sub 8/16/40/80 → 5.45/4.79/4.95/4.61 µs), else 16/8 by
+    tiling granularity."""
+    if n % _STEP_BIG == 0 and n >= _BIG_N:
+        return _SUB_BIG
+    if n // _LANE <= 128:
+        return n // _LANE
+    if n % (_SUB_MID * _LANE) == 0:
+        return _SUB_MID
+    return _SUB
 
 
 def soa_pad(n: int) -> int:
@@ -87,67 +98,107 @@ def _pad_soa_zero(v_soa: jnp.ndarray, n: int) -> jnp.ndarray:
 
 def _householder_inplace(a, rhs_list, br: int, bc: int):
     """Unrolled Householder QR on per-element tiles ``a[r][c]``; each rhs in
-    ``rhs_list`` (a list of lists of per-row tiles) is updated by Hᵀ too."""
+    ``rhs_list`` (a list of lists of per-row tiles) is updated by Hᵀ too.
+
+    Uses the unnormalized-reflector form ``H = I − u uᵀ / (β(β−x₀))`` with
+    ``u = (x₀−β, a[j+1..])`` — ONE reciprocal per column instead of a
+    per-element divide vector plus a tau divide (VPU divides are multi-cycle;
+    at the 10k-block flagship point the kernel is compute-bound and the old
+    form spent ~half its cycles in divides).  The eliminated column itself is
+    never updated: only the diagonal survives into R/back-substitution, so it
+    is written directly (β, or x₀ when the column is already zero)."""
     one = jnp.ones_like(a[0][0])
-    zero = jnp.zeros_like(a[0][0])
     for j in range(bc):
         x0 = a[j][j]
-        sigma = zero
+        sigma = jnp.zeros_like(x0)
         for r in range(j + 1, br):
             sigma = sigma + a[r][j] * a[r][j]
         norm = jnp.sqrt(x0 * x0 + sigma)
         beta = jnp.where(x0 >= 0, -norm, norm)
         degen = sigma <= 0
-        denom = jnp.where(degen, one, x0 - beta)
-        safe_beta = jnp.where(norm == 0, one, beta)
-        tau = jnp.where(degen, zero, (beta - x0) / safe_beta)
-        v = [zero] * br
-        v[j] = one
+        # uᵀu = 2β(β−x₀); H = I − u uᵀ · c with c = 2/uᵀu = 1/(β(β−x₀))
+        t = beta * (beta - x0)
+        c_scale = jnp.where(degen, 0.0, one / jnp.where(degen, one, t))
+        u = [None] * br
+        u[j] = x0 - beta
         for r in range(j + 1, br):
-            v[r] = a[r][j] / denom
-        # apply H = I - tau v vᵀ to trailing columns and each rhs
-        for c in range(j, bc):
-            w = zero
+            u[r] = a[r][j]
+        a[j][j] = jnp.where(degen, x0, beta)
+        # apply H to trailing columns and each rhs (column j is skipped: its
+        # subdiagonal is annihilated by construction and never read again)
+        for c in range(j + 1, bc):
+            w = u[j] * a[j][c]
+            for r in range(j + 1, br):
+                w = w + u[r] * a[r][c]
+            w = c_scale * w
             for r in range(j, br):
-                w = w + v[r] * a[r][c]
-            w = tau * w
-            for r in range(j, br):
-                a[r][c] = a[r][c] - v[r] * w
+                a[r][c] = a[r][c] - u[r] * w
         for rhs in rhs_list:
-            w = zero
+            w = u[j] * rhs[j]
+            for r in range(j + 1, br):
+                w = w + u[r] * rhs[r]
+            w = c_scale * w
             for r in range(j, br):
-                w = w + v[r] * rhs[r]
-            w = tau * w
-            for r in range(j, br):
-                rhs[r] = rhs[r] - v[r] * w
+                rhs[r] = rhs[r] - u[r] * w
 
 
-def _lstsq_kernel(br: int, bc: int):
+def _lstsq_kernel(br: int, bc: int, scaled: bool = False, stepnorm: bool = False):
     """Fused QR + LS-solve kernel for static block shape (br, bc).
 
     Refs are [rows, 8, 128]: one full VPU tile per per-block scalar.
+    ``scaled=True`` adds a leading (1, 1) SMEM scalar that multiplies the rhs
+    on load — a data-dependent rhs costs zero extra HBM traffic (LM drivers
+    and the bench's chained-dependency loop use this; solving for s·b is
+    s·x by linearity, so it composes with any caller-side rescale).
+    ``stepnorm=True`` adds a trailing (1, 1) SMEM output accumulating
+    ``Σ x²`` across grid steps — the LM trust-region step norm, produced
+    while x is still in registers so a convergence check costs zero extra
+    HBM reads (without it the caller re-reads the full x from HBM just to
+    reduce it to one scalar).
     """
 
-    def kernel(a_ref, b_ref, x_ref):
+    def kernel(*refs):
+        refs = list(refs)
+        s = refs.pop(0)[0, 0] if scaled else None
+        sn_ref = refs.pop() if stepnorm else None
+        a_ref, b_ref, x_ref = refs
         a = [[a_ref[r * bc + c] for c in range(bc)] for r in range(br)]
         rhs = [b_ref[r] for r in range(br)]
         _householder_inplace(a, [rhs], br, bc)
-        # back substitution on the bc x bc upper-triangular R
+        # back substitution on the bc x bc upper-triangular R; the rhs scale
+        # is applied to x (bc tiles) instead of b on load (br tiles) — by
+        # linearity solve(s·b) = s·solve(b), and bc < br always here
         x = [None] * bc
         for j in range(bc - 1, -1, -1):
             acc = rhs[j]
             for c in range(j + 1, bc):
                 acc = acc - a[j][c] * x[c]
             x[j] = acc / a[j][j]
+        if scaled:
+            x = [xj * s for xj in x]
         for j in range(bc):
             x_ref[j] = x[j]
+        if stepnorm:
+            acc = jnp.sum(x[0] * x[0])
+            for j in range(1, bc):
+                acc = acc + jnp.sum(x[j] * x[j])
+
+            @pl.when(pl.program_id(0) == 0)
+            def _init():
+                sn_ref[0, 0] = acc
+
+            @pl.when(pl.program_id(0) != 0)
+            def _accum():
+                sn_ref[0, 0] = sn_ref[0, 0] + acc
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "sub", "stepnorm"))
 def pallas_block_diagonal_lstsq_soa(
-    a_soa: jnp.ndarray, b_soa: jnp.ndarray, interpret: bool = False
+    a_soa: jnp.ndarray, b_soa: jnp.ndarray, interpret: bool = False,
+    b_scale: jnp.ndarray | None = None, sub: int | None = None,
+    stepnorm: bool = False,
 ) -> jnp.ndarray:
     """SoA-native fused QR + LS solve.
 
@@ -157,30 +208,64 @@ def pallas_block_diagonal_lstsq_soa(
     unit-diagonal blocks — callers keeping operands SoA-resident across an LM
     loop pad once with :func:`soa_pad`/``_pad_soa_identity`` and never
     relayout again.
+
+    ``b_scale`` (optional device scalar) solves for ``b_scale · b_soa``
+    without materializing the scaled rhs: the scalar rides in SMEM and scales
+    tiles on load, so a data-dependent rhs adds zero HBM traffic.
+
+    ``sub`` (static) overrides the sublanes-per-grid-step tile; ``n/128`` must
+    be a multiple of it.  Default picks the measured-best tier for ``n``.
+
+    ``stepnorm=True`` (static) returns ``(x_soa, Σ x²)`` with the step norm
+    reduced in-kernel to a (1, 1) SMEM scalar — an LM driver's convergence /
+    trust-region check at zero extra HBM traffic (padded lanes contribute
+    exactly 0: unit-diagonal pad blocks see a zero rhs).
     """
     ebc, n = a_soa.shape
     br = b_soa.shape[0]
     bc = ebc // br
     if n % _STEP:
         raise ValueError(f"SoA batch axis {n} not a multiple of {_STEP}")
-    sub = _sub_for(n)
+    if sub is None:
+        sub = _sub_for(n)
+    elif (n // _LANE) % sub:
+        raise ValueError(f"sub={sub} does not tile the {n // _LANE} sublanes")
     dt = a_soa.dtype
     a3 = a_soa.reshape(ebc, n // _LANE, _LANE)
     b3 = b_soa.reshape(br, n // _LANE, _LANE)
-    x3 = pl.pallas_call(
-        _lstsq_kernel(br, bc),
-        out_shape=jax.ShapeDtypeStruct((bc, n // _LANE, _LANE), dt),
+    scaled = b_scale is not None
+    in_specs = [
+        pl.BlockSpec((ebc, sub, _LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((br, sub, _LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+    ]
+    args = (a3, b3)
+    if scaled:
+        in_specs.insert(
+            0, pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+        )
+        args = (jnp.asarray(b_scale, dt).reshape(1, 1),) + args
+    out_shape = jax.ShapeDtypeStruct((bc, n // _LANE, _LANE), dt)
+    out_specs = pl.BlockSpec(
+        (bc, sub, _LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+    )
+    if stepnorm:
+        out_shape = (out_shape, jax.ShapeDtypeStruct((1, 1), dt))
+        out_specs = (
+            out_specs,
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        )
+    out = pl.pallas_call(
+        _lstsq_kernel(br, bc, scaled=scaled, stepnorm=stepnorm),
+        out_shape=out_shape,
         grid=(n // (sub * _LANE),),
-        in_specs=[
-            pl.BlockSpec((ebc, sub, _LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((br, sub, _LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (bc, sub, _LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM
-        ),
+        in_specs=in_specs,
+        out_specs=out_specs,
         interpret=interpret,
-    )(a3, b3)
-    return x3.reshape(bc, n)
+    )(*args)
+    if stepnorm:
+        x3, sn = out
+        return x3.reshape(bc, n), sn[0, 0]
+    return out.reshape(bc, n)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

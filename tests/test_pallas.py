@@ -111,3 +111,69 @@ def test_pallas_soa_big_grid_step(rng):
         pallas_block_diagonal_lstsq_soa(a_soa, b_soa, interpret=True)
     )
     assert np.allclose(x_soa.T, x_true, atol=5e-4)
+
+def test_pallas_soa_b_scale(rng):
+    """The SMEM rhs-scale operand: solving for s*b must equal s*x(b) exactly
+    (linearity — the kernel scales x on output), at s=1 must match the
+    unscaled kernel bit-for-bit, and a small batch axis must run as a single
+    grid step (the measured-best tier at the flagship size)."""
+    from qrkit_tpu.ops.pallas_blockdiag import (
+        _sub_for,
+        pallas_block_diagonal_lstsq_soa,
+    )
+
+    nb, br, bc = 2048, 7, 2
+    assert _sub_for(nb) == nb // 128  # single grid step
+    assert _sub_for(10240) == 80
+    assert _sub_for(503808) == 32  # the 500k tier is unchanged
+    blocks = rng.uniform(0.5, 5.0, size=(nb, br, bc)).astype(np.float32)
+    b = rng.normal(size=(nb, br)).astype(np.float32)
+    a_soa = jnp.asarray(blocks.transpose(1, 2, 0).reshape(br * bc, nb))
+    b_soa = jnp.asarray(np.ascontiguousarray(b.T))
+    x0 = np.asarray(pallas_block_diagonal_lstsq_soa(a_soa, b_soa, interpret=True))
+    x1 = np.asarray(
+        pallas_block_diagonal_lstsq_soa(
+            a_soa, b_soa, interpret=True, b_scale=jnp.float32(1.0)
+        )
+    )
+    assert np.array_equal(x0, x1)
+    s = np.float32(-2.5)
+    xs = np.asarray(
+        pallas_block_diagonal_lstsq_soa(
+            a_soa, b_soa, interpret=True, b_scale=jnp.float32(s)
+        )
+    )
+    assert np.array_equal(xs, s * x0)  # scale applied to x: exact
+
+
+def test_pallas_soa_stepnorm(rng):
+    """The SMEM step-norm output: Σx² reduced in-kernel must match the host
+    reduction, x must be unchanged, and the accumulation must be correct
+    across multiple grid steps (sub override) and compose with b_scale."""
+    from qrkit_tpu.ops.pallas_blockdiag import pallas_block_diagonal_lstsq_soa
+
+    nb, br, bc = 2048, 7, 2
+    blocks = rng.uniform(0.5, 5.0, size=(nb, br, bc)).astype(np.float32)
+    b = rng.normal(size=(nb, br)).astype(np.float32)
+    a_soa = jnp.asarray(blocks.transpose(1, 2, 0).reshape(br * bc, nb))
+    b_soa = jnp.asarray(np.ascontiguousarray(b.T))
+    x0 = np.asarray(pallas_block_diagonal_lstsq_soa(a_soa, b_soa, interpret=True))
+    want = float((x0.astype(np.float64) ** 2).sum())
+    x1, sn = pallas_block_diagonal_lstsq_soa(
+        a_soa, b_soa, interpret=True, stepnorm=True
+    )
+    assert np.array_equal(np.asarray(x1), x0)
+    assert abs(float(sn) - want) < 1e-5 * want
+    # multi-grid-step accumulation (sub=8 -> 2 steps at nb=2048)
+    x2, sn2 = pallas_block_diagonal_lstsq_soa(
+        a_soa, b_soa, interpret=True, stepnorm=True, sub=8
+    )
+    assert np.array_equal(np.asarray(x2), x0)
+    assert abs(float(sn2) - want) < 1e-5 * want
+    # composes with b_scale: stepnorm reduces the SCALED x
+    s = np.float32(3.0)
+    x3, sn3 = pallas_block_diagonal_lstsq_soa(
+        a_soa, b_soa, interpret=True, stepnorm=True, b_scale=jnp.float32(s)
+    )
+    assert np.array_equal(np.asarray(x3), s * x0)
+    assert abs(float(sn3) - s * s * want) < 1e-4 * want
