@@ -24,10 +24,11 @@ correctness; fp64 parity to 1e-6 is covered by tests/ on the CPU backend.
 Pallas lowering regression is therefore visible in BENCH_r*.json instead of
 silently reporting a slower XLA number.
 
-Since round 2 the chained loop holds operands **SoA-resident** (the LM-loop
-pattern ``functional.lm_damped_step_blockdiag1`` uses): the AoS->SoA relayout
-happens once outside the timed region, matching how a real LM driver keeps
-its Jacobian on device.  The JSON carries a roofline check: ``bytes_moved``
+Since round 2 the chained loop holds operands resident in the kernel's
+preferred layout (round 3: chunk-major AoSoA, ``ops/pallas_blockdiag.to_aosoa``;
+the relayout happens once outside the timed region), matching how a real LM
+driver keeps its Jacobian on device.  The JSON carries a roofline check:
+``bytes_moved``
 (HBM bytes one fused factorize+solve must move: A + b + x, padded to the
 kernel's 1024-block tile) and ``hbm_frac`` (fraction of the chip's peak HBM
 bandwidth achieved — the workload is memory-bound, so this is the honest
@@ -116,8 +117,9 @@ def main():
     fallback_error = None
     try:
         from qrkit_tpu.ops.pallas_blockdiag import (
+            from_aosoa,
             pallas_block_diagonal_lstsq,
-            pallas_block_diagonal_lstsq_soa,
+            pallas_block_diagonal_lstsq_aosoa,
             soa_pad,
         )
 
@@ -130,7 +132,10 @@ def main():
             )
         )
 
-        # One-time (untimed) SoA prep — the resident layout an LM loop keeps.
+        # One-time (untimed) prep into the chunk-major AoSoA resident layout
+        # an LM loop keeps (one contiguous 1024-block chunk of all rows per
+        # grid step — the flat SoA form's n·4-byte row stride loses HBM
+        # throughput past ~500k blocks; see ops/pallas_blockdiag.to_aosoa).
         npad = soa_pad(NB)
         a_soa_np = np.zeros((BR * BC, npad), np.float32)
         a_soa_np[:, :NB] = blocks_np.transpose(1, 2, 0).reshape(BR * BC, NB)
@@ -138,14 +143,22 @@ def main():
             a_soa_np[j * BC + j, NB:] = 1.0  # unit-diagonal pad blocks
         b_soa_np = np.zeros((BR, npad), np.float32)
         b_soa_np[:, :NB] = b_np.reshape(NB, BR).T
-        op_a = jnp.asarray(a_soa_np)
-        op_b = jnp.asarray(b_soa_np)
+
+        def _to_aosoa_host(v):  # [rows, npad] -> [npad/1024, rows, 8, 128]
+            rows = v.shape[0]
+            return np.ascontiguousarray(
+                np.moveaxis(v.reshape(rows, npad // 1024, 8, 128), 0, 1)
+            )
+
+        op_a = jnp.asarray(_to_aosoa_host(a_soa_np))
+        op_b = jnp.asarray(_to_aosoa_host(b_soa_np))
 
         def _solve(a, b):
-            return pallas_block_diagonal_lstsq_soa(a, b)
+            return pallas_block_diagonal_lstsq_aosoa(a, b)
 
         def _extract_x(xdev):
-            return np.asarray(xdev, np.float64)[:, :NB].T.reshape(-1)
+            x_soa = np.asarray(from_aosoa(xdev), np.float64)
+            return x_soa[:, :NB].T.reshape(-1)
 
         def _chain_body(carry, a, b):
             # data dependency via the kernel's SMEM rhs scale + SMEM step-norm
@@ -154,7 +167,7 @@ def main():
             # in-kernel Σx² reduction, so no post-kernel HBM read of x either
             # (an x[0, 0] probe cost ~0.8 µs/iter re-reading an output tile;
             # an XLA-side full-rhs rescale cost +61% of the kernel's traffic)
-            x, sn = pallas_block_diagonal_lstsq_soa(
+            x, sn = pallas_block_diagonal_lstsq_aosoa(
                 a, b, b_scale=carry, stepnorm=True
             )
             return 1.0 + 1e-12 * sn, None
@@ -209,7 +222,7 @@ def main():
         # the timed loop runs the SMEM-scaled kernel variant; at scale 1 it
         # must reproduce the gated solution
         xs1 = _extract_x(
-            pallas_block_diagonal_lstsq_soa(op_a, op_b, b_scale=jnp.float32(1.0))
+            pallas_block_diagonal_lstsq_aosoa(op_a, op_b, b_scale=jnp.float32(1.0))
         )
         assert np.allclose(xs1, x, rtol=0, atol=1e-6), "scaled-kernel mismatch"
 

@@ -295,17 +295,20 @@ def _soa_tall_qr_solve(X: jnp.ndarray, y: jnp.ndarray, m2: int):
         tail = jnp.where(lane > j, col, jnp.zeros((), dt))
         sigma = jnp.sum(tail * tail)
         norm = jnp.sqrt(x0 * x0 + sigma)
-        sign = jnp.where(x0 >= 0, jnp.ones((), dt), -jnp.ones((), dt))
-        beta = -sign * norm
+        beta = jnp.where(x0 >= 0, -norm, norm)
         degen = sigma <= jnp.zeros((), dt)
-        denom = jnp.where(degen, jnp.ones((), dt), x0 - beta)
-        safe_beta = jnp.where(norm == 0, jnp.ones((), dt), beta)
-        tau = jnp.where(degen, jnp.zeros((), dt), (beta - x0) / safe_beta)
-        v = tail / denom
-        v = v.at[j].set(jnp.ones((), dt))
-        v = jnp.where(lane >= j, v, jnp.zeros((), dt))
-        w = Xy @ v  # [m2+1] — reduce over lanes
-        Xy = Xy - tau * jnp.outer(w, v)
+        # unnormalized reflector u = (x0−β, tail); H = I − u uᵀ / (β(β−x0)) —
+        # one reciprocal per step instead of an [L]-wide divide plus a tau
+        # divide (same derivation as ops/pallas_blockdiag._householder_inplace;
+        # β(β−x0) = ‖x‖² + ‖x‖·|x0| > 0, well-conditioned)
+        t = beta * (beta - x0)
+        c_scale = jnp.where(
+            degen, jnp.zeros((), dt),
+            jnp.ones((), dt) / jnp.where(degen, jnp.ones((), dt), t),
+        )
+        u = tail.at[j].set(x0 - beta)  # lanes < j are already zero
+        w = (Xy @ u) * c_scale  # [m2+1] — reduce over lanes
+        Xy = Xy - jnp.outer(w, u)
     R2 = Xy[:m2, :m2].T  # R[row, col] = Xy[col, lane=row]
     y2 = Xy[m2, :m2]
     return jax.lax.linalg.triangular_solve(
@@ -361,26 +364,27 @@ def lm_damped_step_blockdiag(
         x0 = colj[j]
         sigma = jnp.sum(colj[j + 1 :] * colj[j + 1 :], axis=0)
         norm = jnp.sqrt(x0 * x0 + sigma)
-        sign = jnp.where(x0 >= 0, jnp.ones((), dt), -jnp.ones((), dt))
-        beta = -sign * norm
+        beta = jnp.where(x0 >= 0, -norm, norm)
         degen = sigma <= jnp.zeros((), dt)
-        denom = jnp.where(degen, jnp.ones((), dt), x0 - beta)
-        safe_beta = jnp.where(norm == 0, jnp.ones((), dt), beta)
-        tau = jnp.where(degen, jnp.zeros((), dt), (beta - x0) / safe_beta)
-        v = jnp.concatenate(
-            [
-                jnp.zeros((j, nb), dt),
-                jnp.ones((1, nb), dt),
-                colj[j + 1 :] / denom,
-            ],
+        # unnormalized reflector u = (x0−β, colj[j+1:]); H = I − u uᵀ/(β(β−x0))
+        # — one reciprocal per column instead of a [br−j, nb] divide pass plus
+        # a tau divide (ops/pallas_blockdiag._householder_inplace derivation;
+        # β(β−x0) = ‖x‖² + ‖x‖·|x0| > 0 away from the degenerate branch)
+        t = beta * (beta - x0)
+        c_scale = jnp.where(
+            degen, jnp.zeros((), dt),
+            jnp.ones((), dt) / jnp.where(degen, jnp.ones((), dt), t),
+        )
+        u = jnp.concatenate(
+            [jnp.zeros((j, nb), dt), (x0 - beta)[None], colj[j + 1 :]],
             axis=0,
         )  # [br, nb]
         # trailing update on block columns j+1.. and on [right | rhs]
         if j + 1 < bc:
-            wA = jnp.einsum("rn,rcn->cn", v, a[:, j + 1 :])
-            a = a.at[:, j + 1 :].add(-tau[None, None, :] * v[:, None, :] * wA[None])
-        wB = jnp.einsum("rn,rcn->cn", v, B)
-        B = B - tau[None, None, :] * v[:, None, :] * wB[None]
+            wA = c_scale[None] * jnp.einsum("rn,rcn->cn", u, a[:, j + 1 :])
+            a = a.at[:, j + 1 :].add(-u[:, None, :] * wA[None])
+        wB = c_scale[None] * jnp.einsum("rn,rcn->cn", u, B)
+        B = B - u[:, None, :] * wB[None]
         # R₁ row j: diag = beta (or x0 when degenerate), off-diag from updated a
         diag_j = jnp.where(degen, x0, beta)
         row = [jnp.zeros((nb,), dt)] * j + [diag_j] + [

@@ -11,6 +11,12 @@ multiple fused-loop passes over HBM; this kernel is the speed-of-light tier:
   100% VPU occupancy with zero cross-lane communication.  (Round 1 used
   ``[1, TILE]`` rows — 1 of 8 sublanes busy — and measured ~7% of HBM
   bandwidth; this layout removes that 8x.)
+* **Chunk-major AoSoA resident form** (round 3, the preferred hot-loop
+  layout): ``[n/1024, br*bc, 8, 128]`` via :func:`to_aosoa` — one 1024-block
+  chunk of ALL rows is contiguous, so every grid-step DMA is a single
+  unstrided stream.  The flat SoA form's per-row stride grows with n and
+  past ~500k blocks strided tile gathers lose HBM throughput (1M blocks:
+  455 µs SoA vs 164 µs AoSoA; 10k: 3.6 vs 2.5 µs; ~69% of v5e HBM peak).
 * **No relayout in the hot loop**: the ``*_soa`` entry points consume and
   produce SoA-resident operands, so an LM loop that keeps its Jacobian SoA
   (see ``functional.lm_damped_step_blockdiag1``) pays zero AoS<->SoA HBM
@@ -33,11 +39,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = [
+    "from_aosoa",
     "pallas_block_diagonal_lstsq",
+    "pallas_block_diagonal_lstsq_aosoa",
     "pallas_block_diagonal_lstsq_soa",
     "pallas_block_diagonal_qr_r",
     "pallas_block_diagonal_qr_r_soa",
     "soa_pad",
+    "to_aosoa",
 ]
 
 _LANE = 128
@@ -142,10 +151,16 @@ def _householder_inplace(a, rhs_list, br: int, bc: int):
                 rhs[r] = rhs[r] - u[r] * w
 
 
-def _lstsq_kernel(br: int, bc: int, scaled: bool = False, stepnorm: bool = False):
+def _lstsq_kernel(
+    br: int, bc: int, scaled: bool = False, stepnorm: bool = False,
+    chunked: bool = False,
+):
     """Fused QR + LS-solve kernel for static block shape (br, bc).
 
-    Refs are [rows, 8, 128]: one full VPU tile per per-block scalar.
+    Refs are [rows, 8, 128] (SoA: one full VPU tile per per-block scalar) or,
+    with ``chunked=True``, [cps, rows, 8, 128] (AoSoA: ``cps`` contiguous
+    1024-block chunks per grid step — every DMA is one unstrided stream; see
+    :func:`pallas_block_diagonal_lstsq_aosoa`).
     ``scaled=True`` adds a leading (1, 1) SMEM scalar that multiplies the rhs
     on load — a data-dependent rhs costs zero extra HBM traffic (LM drivers
     and the bench's chained-dependency loop use this; solving for s·b is
@@ -162,8 +177,12 @@ def _lstsq_kernel(br: int, bc: int, scaled: bool = False, stepnorm: bool = False
         s = refs.pop(0)[0, 0] if scaled else None
         sn_ref = refs.pop() if stepnorm else None
         a_ref, b_ref, x_ref = refs
-        a = [[a_ref[r * bc + c] for c in range(bc)] for r in range(br)]
-        rhs = [b_ref[r] for r in range(br)]
+        if chunked:
+            a = [[a_ref[:, r * bc + c] for c in range(bc)] for r in range(br)]
+            rhs = [b_ref[:, r] for r in range(br)]
+        else:
+            a = [[a_ref[r * bc + c] for c in range(bc)] for r in range(br)]
+            rhs = [b_ref[r] for r in range(br)]
         _householder_inplace(a, [rhs], br, bc)
         # back substitution on the bc x bc upper-triangular R; the rhs scale
         # is applied to x (bc tiles) instead of b on load (br tiles) — by
@@ -177,7 +196,10 @@ def _lstsq_kernel(br: int, bc: int, scaled: bool = False, stepnorm: bool = False
         if scaled:
             x = [xj * s for xj in x]
         for j in range(bc):
-            x_ref[j] = x[j]
+            if chunked:
+                x_ref[:, j] = x[j]
+            else:
+                x_ref[j] = x[j]
         if stepnorm:
             acc = jnp.sum(x[0] * x[0])
             for j in range(1, bc):
@@ -268,6 +290,105 @@ def pallas_block_diagonal_lstsq_soa(
     return out.reshape(bc, n)
 
 
+def _cps_for(nchunks: int) -> int:
+    """Chunks-per-grid-step tier for the AoSoA layout: small batches run the
+    whole axis as ONE grid step (≤ 16 chunks ≈ 1.5 MB VMEM for a 7×2 system —
+    per-step fixed cost beats DMA/compute pipelining there, as measured for
+    the SoA tiers), else the largest of 4/2/1 that tiles the chunk count
+    (cps=4 measured best at 500k and 1M: 229 KB contiguous DMA per operand
+    per step)."""
+    if nchunks <= 16:
+        return nchunks
+    if nchunks % 4 == 0:
+        return 4
+    if nchunks % 2 == 0:
+        return 2
+    return 1
+
+
+def to_aosoa(v_soa: jnp.ndarray) -> jnp.ndarray:
+    """SoA ``[rows, n]`` → chunk-major AoSoA ``[n/1024, rows, 8, 128]``.
+
+    One 1024-block chunk of ALL rows is contiguous, so a grid step's DMA is a
+    single unstrided stream.  The SoA layout's per-row stride grows with n
+    (n·4 bytes), and past ~500k blocks strided tile gathers measurably lose
+    HBM throughput: on the 7×2 flagship the AoSoA kernel measured 2.5 µs at
+    10k blocks (SoA 3.6), 82 µs at 500k (116) and 164 µs at 1M (455 — the SoA
+    stride penalty doubled per-block cost from 500k to 1M; chunk-major holds
+    0.16 ns/block, ~69% of v5e HBM peak, at both).  One-time relayout: do it
+    OUTSIDE hot loops, like the AoS↔SoA boundary."""
+    rows, n = v_soa.shape
+    return jnp.moveaxis(v_soa.reshape(rows, n // _STEP, _SUB, _LANE), 0, 1)
+
+
+def from_aosoa(v4: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of :func:`to_aosoa`: ``[n/1024, rows, 8, 128]`` → ``[rows, n]``."""
+    nch, rows = v4.shape[0], v4.shape[1]
+    return jnp.moveaxis(v4, 1, 0).reshape(rows, nch * _STEP)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "cps", "stepnorm"))
+def pallas_block_diagonal_lstsq_aosoa(
+    a4: jnp.ndarray, b4: jnp.ndarray, interpret: bool = False,
+    b_scale: jnp.ndarray | None = None, cps: int | None = None,
+    stepnorm: bool = False,
+):
+    """Chunk-major AoSoA fused QR + LS solve — the fastest layout at every
+    measured batch size (see :func:`to_aosoa`).
+
+    ``a4`` is ``[n/1024, br*bc, 8, 128]`` (``to_aosoa`` of the ``[br*bc, n]``
+    SoA form), ``b4`` is ``[n/1024, br, 8, 128]``; returns ``x4
+    [n/1024, bc, 8, 128]`` (and ``Σ x²`` with ``stepnorm=True``).  ``b_scale``
+    and ``stepnorm`` behave exactly as in
+    :func:`pallas_block_diagonal_lstsq_soa`.  ``cps`` (static) overrides the
+    chunks-per-grid-step tier; it must tile ``n/1024``.
+    """
+    nch, ebc = a4.shape[0], a4.shape[1]
+    br = b4.shape[1]
+    bc = ebc // br
+    if cps is None:
+        cps = _cps_for(nch)
+    elif nch % cps:
+        raise ValueError(f"cps={cps} does not tile the {nch} chunks")
+    dt = a4.dtype
+    scaled = b_scale is not None
+    in_specs = [
+        pl.BlockSpec(
+            (cps, ebc, _SUB, _LANE), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (cps, br, _SUB, _LANE), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+    ]
+    args = (a4, b4)
+    if scaled:
+        in_specs.insert(
+            0, pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+        )
+        args = (jnp.asarray(b_scale, dt).reshape(1, 1),) + args
+    out_shape = jax.ShapeDtypeStruct((nch, bc, _SUB, _LANE), dt)
+    out_specs = pl.BlockSpec(
+        (cps, bc, _SUB, _LANE), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    if stepnorm:
+        out_shape = (out_shape, jax.ShapeDtypeStruct((1, 1), dt))
+        out_specs = (
+            out_specs,
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        )
+    out = pl.pallas_call(
+        _lstsq_kernel(br, bc, scaled=scaled, stepnorm=stepnorm, chunked=True),
+        out_shape=out_shape,
+        grid=(nch // cps,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        interpret=interpret,
+    )(*args)
+    if stepnorm:
+        return out[0], out[1][0, 0]
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def pallas_block_diagonal_lstsq(
     blocks: jnp.ndarray, b: jnp.ndarray, interpret: bool = False
@@ -276,16 +397,17 @@ def pallas_block_diagonal_lstsq(
 
     Equivalent to :func:`qrkit_tpu.functional.block_diagonal_lstsq` (pivot=False)
     — returns x [nb*bc] minimizing ||A x - b|| blockwise.  AoS compatibility
-    wrapper: relayouts at the boundary; hot loops should hold operands SoA and
-    call :func:`pallas_block_diagonal_lstsq_soa` directly.
+    wrapper: relayouts at the boundary (to the chunk-major AoSoA form, the
+    fastest at every measured size); hot loops should hold operands AoSoA and
+    call :func:`pallas_block_diagonal_lstsq_aosoa` directly.
     """
     nb, br, bc = blocks.shape
     a_soa = jnp.transpose(blocks, (1, 2, 0)).reshape(br * bc, nb)
     b_soa = jnp.transpose(b[: nb * br].reshape(nb, br), (1, 0))
-    a_soa = _pad_soa_identity(a_soa, bc, nb)
-    b_soa = _pad_soa_zero(b_soa, nb)
-    x_soa = pallas_block_diagonal_lstsq_soa(a_soa, b_soa, interpret=interpret)
-    return jnp.transpose(x_soa[:, :nb], (1, 0)).reshape(nb * bc)
+    a4 = to_aosoa(_pad_soa_identity(a_soa, bc, nb))
+    b4 = to_aosoa(_pad_soa_zero(b_soa, nb))
+    x4 = pallas_block_diagonal_lstsq_aosoa(a4, b4, interpret=interpret)
+    return jnp.transpose(from_aosoa(x4)[:, :nb], (1, 0)).reshape(nb * bc)
 
 
 def _qr_r_kernel(br: int, bc: int):

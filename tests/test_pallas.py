@@ -177,3 +177,51 @@ def test_pallas_soa_stepnorm(rng):
     )
     assert np.array_equal(np.asarray(x3), s * x0)
     assert abs(float(sn3) - s * s * want) < 1e-4 * want
+
+
+def test_pallas_aosoa_matches_soa(rng):
+    """Chunk-major AoSoA entry (the preferred hot-loop layout): must match
+    the SoA kernel bit-for-bit through the layout round trip, for every
+    feature combination (plain / b_scale / stepnorm) and across multiple
+    grid steps (cps override)."""
+    from qrkit_tpu.ops.pallas_blockdiag import (
+        _cps_for,
+        from_aosoa,
+        pallas_block_diagonal_lstsq_aosoa,
+        pallas_block_diagonal_lstsq_soa,
+        to_aosoa,
+    )
+
+    assert _cps_for(10) == 10       # single grid step at the flagship 10k
+    assert _cps_for(16) == 16
+    assert _cps_for(492) == 4       # 500k tier
+    assert _cps_for(980) == 4       # 1M tier
+    assert _cps_for(18) == 2
+    assert _cps_for(17) == 1
+
+    nb, br, bc = 4096, 7, 2
+    blocks = rng.uniform(0.5, 5.0, size=(nb, br, bc)).astype(np.float32)
+    b = rng.normal(size=(nb, br)).astype(np.float32)
+    a_soa = jnp.asarray(blocks.transpose(1, 2, 0).reshape(br * bc, nb))
+    b_soa = jnp.asarray(np.ascontiguousarray(b.T))
+    a4, b4 = to_aosoa(a_soa), to_aosoa(b_soa)
+    assert a4.shape == (nb // 1024, br * bc, 8, 128)
+    assert np.array_equal(np.asarray(from_aosoa(a4)), np.asarray(a_soa))
+
+    x_soa = np.asarray(pallas_block_diagonal_lstsq_soa(a_soa, b_soa, interpret=True))
+    x4 = pallas_block_diagonal_lstsq_aosoa(a4, b4, interpret=True)
+    assert np.array_equal(np.asarray(from_aosoa(x4)), x_soa)
+
+    s = np.float32(-1.75)
+    x4s = pallas_block_diagonal_lstsq_aosoa(
+        a4, b4, interpret=True, b_scale=jnp.float32(s)
+    )
+    assert np.array_equal(np.asarray(from_aosoa(x4s)), s * x_soa)
+
+    want = float((x_soa.astype(np.float64) ** 2).sum())
+    for cps in (1, 2, 4):  # multi-grid-step stepnorm accumulation
+        x4n, sn = pallas_block_diagonal_lstsq_aosoa(
+            a4, b4, interpret=True, stepnorm=True, cps=cps
+        )
+        assert np.array_equal(np.asarray(from_aosoa(x4n)), x_soa)
+        assert abs(float(sn) - want) < 1e-5 * want
