@@ -157,6 +157,31 @@ def test_gather_free_extraction_fast_paths(rng):
     assert np.allclose(x, x_true, atol=1e-7), np.abs(x - x_true).max()
 
 
+def test_tall_block_config3_geometry(rng):
+    """BASELINE config-3 geometry in miniature (40x8 blocks, 4-col step —
+    blocks 5x taller than the column step, so most of every block lands in
+    the boundary composition): full solver contract on the shape whose
+    production-size plan has nbot ~3.6x the rows of the 21x10 chain."""
+    mat = _bench_shape_banded(160, rng, br=40, bc=8, ov=4)
+    qr = SegmentedBandedQR(suggested_block_cols=8, segment_blocks=32).compute(mat)
+    assert qr._delegate is None
+    assert qr._panel_fast is not None  # run-contiguous layout: fast extraction
+    dense = mat.to_dense()
+    pA = qr.rows_permutation().apply(dense)
+    pAP = pA[:, qr.cols_permutation().indices]
+    R = np.asarray(qr.matrix_r_dense())
+    QtAP = np.asarray(qr.apply_qt(jnp.asarray(pAP)))
+    assert np.allclose(QtAP, R, atol=1e-8), np.abs(QtAP - R).max()
+    assert np.allclose(np.tril(R, -1), 0.0, atol=1e-10)
+    v = rng.normal(size=mat.nrows)
+    vv = np.asarray(qr.apply_q(qr.apply_qt(jnp.asarray(v))))
+    assert np.allclose(vv, v, atol=1e-9)
+    x_true = rng.normal(size=mat.ncols)
+    b = qr.rows_permutation().apply(dense @ x_true)
+    x = np.asarray(qr.solve(jnp.asarray(b)))
+    assert np.allclose(x, x_true, atol=1e-7), np.abs(x - x_true).max()
+
+
 def test_shared_backsub_gate_and_equality(rng):
     """The uniform fixture must take the shared-scalar interior
     back-substitution (the vmapped per-segment chunk + batched 10x10
