@@ -227,7 +227,25 @@ def _p2_stream_plan(s1t, s2t, spt, A: int, L: int, R: int):
     edge are PRISTINE operand values (writes always land inside the
     window).  Valid iff ``s1`` is nondecreasing and each step's head
     ``[s1, s1+sp)`` precedes its tail ``[s2, s2+A-sp)`` disjointly.
-    Returns ``True`` when the streaming form applies, else ``None``."""
+
+    Two live-window shapes are planned here (``None`` when neither holds):
+
+    ``mono`` — one contiguous window ``[s1_l, s2_l + tw_l)``.  On *gapped*
+    chains (block rows ≫ column step — the head advances ``emit`` lanes per
+    step while the tail advances a whole block height) that window grows
+    O(L·block_rows) wide and the per-step re-concat costs O(L²) traffic
+    (measured 7.2 ms of the 11.5 ms config-3 factorize).
+
+    ``gap`` — two regions split at ``h = max_l(s1_l + sp_l)``, the furthest
+    lane any head window ever reaches.  Region A ``[0, h)`` rides in a small
+    rolling buffer; each step's tail lanes ≥ ``h`` are read PRISTINE,
+    transformed once, and emitted immediately (valid iff those above-``h``
+    tail spans are mutually disjoint and nondecreasing — no later step reads
+    or writes an emitted lane; heads can't, they stop at ``h``).  Live width
+    falls from ~1150 to ~170 lanes on the config-3 chain.
+
+    Returns a dict ``{"mode": "mono"|"gap", "h": int}`` (truthy) or ``None``.
+    """
     for l in range(L):
         s1, s2, sp = int(s1t[l]), int(s2t[l]), int(spt[l])
         if sp and s2 < s1 + sp:
@@ -236,7 +254,26 @@ def _p2_stream_plan(s1t, s2t, spt, A: int, L: int, R: int):
             return None
         if s2 < s1:
             return None
-    return True
+    h = 0
+    live_mono = 0
+    for l in range(L):
+        s1, s2, sp = int(s1t[l]), int(s2t[l]), int(spt[l])
+        h = max(h, s1 + sp)
+        live_mono = max(live_mono, s2 + (A - sp) - s1)
+    gap_ok = True
+    rb = h
+    for l in range(L):
+        s2, sp = int(s2t[l]), int(spt[l])
+        tw = A - sp
+        if s2 + tw > h:
+            if max(s2, h) < rb:
+                gap_ok = False
+                break
+            rb = s2 + tw
+    live_gap = h + A
+    if gap_ok and 2 * live_gap < live_mono:
+        return {"mode": "gap", "h": h}
+    return {"mode": "mono", "h": h}
 
 
 @highest_precision
@@ -259,9 +296,6 @@ def _segment_apply_cols_stream(Yws, Ts, s1t, s2t, spt, vt, transpose):
     L = Yws.shape[1]
     assert transpose, "streaming form is Qᵀ-order only"
     dt = vt.dtype
-    emitted = []
-    W = jnp.zeros((S, k, 0), dt)
-    w0, w1 = 0, 0  # current window coverage [w0, w1)
 
     def pristine(lo, hi):
         hi_r = max(min(hi, R), lo)
@@ -271,6 +305,17 @@ def _segment_apply_cols_stream(Yws, Ts, s1t, s2t, spt, vt, transpose):
         if hi > hi_r:
             parts.append(jnp.zeros((S, k, hi - hi_r), dt))
         return parts
+
+    plan = _p2_stream_plan(s1t, s2t, spt, A, L, R)
+    assert plan is not None, "caller must gate on _p2_stream_plan"
+    if plan["mode"] == "gap":
+        return _segment_apply_cols_stream_gap(
+            Yws, Ts, s1t, s2t, spt, vt, plan["h"], pristine
+        )
+
+    emitted = []
+    W = jnp.zeros((S, k, 0), dt)
+    w0, w1 = 0, 0  # current window coverage [w0, w1)
 
     for l in range(L):
         s1, s2, sp = int(s1t[l]), int(s2t[l]), int(spt[l])
@@ -308,6 +353,67 @@ def _segment_apply_cols_stream(Yws, Ts, s1t, s2t, spt, vt, transpose):
             segs.append(W[:, :, s2 - w0 + tw :])
         W = jnp.concatenate(segs, axis=2)
     pieces = emitted + [W] + pristine(w1, max(R, w1))
+    out = jnp.concatenate(pieces, axis=2)
+    return out[:, :, :R]
+
+
+def _segment_apply_cols_stream_gap(Yws, Ts, s1t, s2t, spt, vt, h, pristine):
+    """Two-region form of :func:`_segment_apply_cols_stream` for GAPPED
+    chains (see ``_p2_stream_plan``'s ``gap`` mode for the geometry proof).
+
+    Region A ``[0, h)`` — every lane any head window ever touches — is
+    pre-ingested into a small rolling buffer ``W`` whose left edge emits as
+    heads march right; each step's tail lanes ≥ ``h`` are sliced PRISTINE
+    from the operand, transformed with the step's WY factor, and emitted
+    immediately (they are final: above-``h`` tail spans are disjoint and no
+    head reaches them).  Per-step traffic is O(h + A) lanes instead of the
+    mono window's O(step · block_rows)."""
+    S, k, R = vt.shape
+    A = Yws.shape[2]
+    L = Yws.shape[1]
+    em_l = []  # finalized pieces covering [0, w0)
+    em_r = []  # finalized pieces covering [h, rb)
+    parts0 = pristine(0, h)
+    W = parts0[0] if len(parts0) == 1 else jnp.concatenate(parts0, axis=2)
+    w0, rb = 0, h
+    for l in range(L):
+        s1, s2, sp = int(s1t[l]), int(s2t[l]), int(spt[l])
+        tw = A - sp
+        if s1 > w0:  # lanes left of s1 are final: emit from the A-buffer
+            em_l.append(W[:, :, : s1 - w0])
+            W = W[:, :, s1 - w0 :]
+            w0 = s1
+        below = max(0, min(s2 + tw, h) - s2)  # tail lanes inside region A
+        above = tw - below
+        parts = []
+        if sp:
+            parts.append(W[:, :, :sp])  # head sits at the window start
+        if below:
+            parts.append(W[:, :, s2 - w0 : s2 - w0 + below])
+        if above:
+            a_lo = max(s2, h)
+            if a_lo > rb:  # pristine gap between emitted tails: flush
+                em_r.extend(pristine(rb, a_lo))
+                rb = a_lo
+            parts.extend(pristine(a_lo, s2 + tw))
+        wg = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=2)
+        Yk = Yws[:, l]
+        Tk = Ts[:, l]
+        wg = wg + ((wg @ Yk) @ Tk) @ jnp.swapaxes(Yk, 1, 2)
+        segs = []
+        if sp:
+            segs.append(wg[:, :, :sp])
+        if below:
+            segs.append(W[:, :, sp : s2 - w0])
+            segs.append(wg[:, :, sp : sp + below])
+            segs.append(W[:, :, s2 - w0 + below :])
+        else:
+            segs.append(W[:, :, sp:])
+        W = segs[0] if len(segs) == 1 else jnp.concatenate(segs, axis=2)
+        if above:
+            em_r.append(wg[:, :, sp + below :])
+            rb = s2 + tw
+    pieces = em_l + [W] + em_r + pristine(rb, max(R, rb))
     out = jnp.concatenate(pieces, axis=2)
     return out[:, :, :R]
 
@@ -425,26 +531,101 @@ def _banded_solve_chunk_shared(
     return xpad
 
 
-def _interior_backsub_split(ypad, r_panels, meta, max_emit: int, max_cols: int, nuni: int):
+def _banded_solve_chunk_shared_static(
+    ypad, r_panels, colst, emitt, ncolst, active, *, max_cols: int
+):
+    """Statically-unrolled form of :func:`_banded_solve_chunk_shared`.
+
+    The shared (col-offset, emit-rows, ncols) sequences are PLAN data, so
+    every window cut/update is a static slice (XLA keeps the solution buffer
+    in place) and the per-step triangular solve unrolls only the step's
+    ``er`` real rows — the ``lax.scan`` form cost ~27 µs/step of pure step
+    latency (0.87 ms of the 3.7 ms config-3 fused solve at L=32).  Inactive
+    steps of padded segments are masked by ``active`` exactly as in the scan
+    form (their zero pivots produce non-finite lanes that the select drops);
+    ``active=None`` asserts every step is live (the trimmed general-segment
+    tuples)."""
+    B = ypad.shape[0]
+    dt = r_panels.dtype
+    L = len(colst)
+    zerov = jnp.zeros((), dt)
+    xpad = jnp.zeros_like(ypad)
+    cj = np.arange(max_cols)
+    for l in range(L - 1, -1, -1):
+        c0, er, nc = int(colst[l]), int(emitt[l]), int(ncolst[l])
+        if er == 0:
+            continue
+        V = r_panels[:, l]  # [B, me, mc]
+        xwin = jax.lax.slice(xpad, (0, c0), (B, c0 + max_cols))
+        maskj = (cj >= er) & (cj < nc)
+        rhs_sub = highest_precision(jnp.einsum)(
+            "bec,bc->be",
+            V[:, :er, :],
+            jnp.where(jnp.asarray(maskj)[None], xwin, zerov),
+        )
+        rhs = jax.lax.slice(ypad, (0, c0), (B, c0 + er)) - rhs_sub
+        xcols = [None] * er
+        for i in range(er - 1, -1, -1):
+            s = rhs[:, i]
+            for j in range(i + 1, er):
+                s = s - V[:, i, j] * xcols[j]
+            xcols[i] = s / V[:, i, i]
+        xblk = jnp.stack(xcols, axis=1)  # [B, er]
+        if active is not None:
+            xblk = jnp.where(
+                active[:, l][:, None],
+                xblk,
+                jax.lax.slice(xpad, (0, c0), (B, c0 + er)),
+            )
+        xpad = jax.lax.dynamic_update_slice(xpad, xblk, (0, c0))
+    return xpad
+
+
+def _interior_backsub_split(
+    ypad, r_panels, meta, max_emit: int, max_cols: int, nuni: int,
+    bss=None, bs_gen=None,
+):
     """Interior back-substitution on uniform plans: segments ``1..1+nuni``
     run the shared-scalar batch path; segment 0 and irregular tail segments
     run the general vmapped per-segment chunk (mirrors
-    :func:`_apply_cols_split`).  Returns ``xs`` [S, nloc+max_cols]."""
+    :func:`_apply_cols_split`).  ``bss``/``bs_gen`` carry the shared / the
+    per-general-segment scalar sequences as host tuples when available,
+    selecting the unrolled-static forms.  Returns ``xs`` [S, nloc+max_cols]."""
     S = ypad.shape[0]
     e = 1 + nuni
     gi = np.array([0] + list(range(e, S)))
-    xs_g = jax.vmap(
-        lambda xp, yp, rp, cs, er, nc, act: _banded_solve_chunk(
-            xp, yp, rp, cs, er, nc, act, max_emit=max_emit, max_cols=max_cols
+    if bs_gen is not None and len(bs_gen) == len(gi):
+        yg, rg = ypad[gi], r_panels[gi]
+        outs_g = []
+        for k in range(len(gi)):
+            ct, et, nt = bs_gen[k]
+            n = len(ct)
+            outs_g.append(
+                _banded_solve_chunk_shared_static(
+                    yg[k : k + 1], rg[k : k + 1, :n], ct, et, nt, None,
+                    max_cols=max_cols,
+                )
+            )
+        xs_g = jnp.concatenate(outs_g, axis=0)
+    else:
+        xs_g = jax.vmap(
+            lambda xp, yp, rp, cs, er, nc, act: _banded_solve_chunk(
+                xp, yp, rp, cs, er, nc, act, max_emit=max_emit, max_cols=max_cols
+            )
+        )(
+            jnp.zeros_like(ypad[gi]), ypad[gi], r_panels[gi], meta["starts"][gi],
+            meta["emit2d"][gi], meta["ncols_loc_d"][gi], meta["active_d"][gi],
         )
-    )(
-        jnp.zeros_like(ypad[gi]), ypad[gi], r_panels[gi], meta["starts"][gi],
-        meta["emit2d"][gi], meta["ncols_loc_d"][gi], meta["active_d"][gi],
-    )
-    xs_u = _banded_solve_chunk_shared(
-        ypad[1:e], r_panels[1:e], meta["s1u"], meta["eru"], meta["ncu"],
-        meta["active_d"][1:e], max_emit=max_emit, max_cols=max_cols,
-    )
+    if bss is not None:
+        xs_u = _banded_solve_chunk_shared_static(
+            ypad[1:e], r_panels[1:e], bss[0], bss[1], bss[2],
+            meta["active_d"][1:e], max_cols=max_cols,
+        )
+    else:
+        xs_u = _banded_solve_chunk_shared(
+            ypad[1:e], r_panels[1:e], meta["s1u"], meta["eru"], meta["ncu"],
+            meta["active_d"][1:e], max_emit=max_emit, max_cols=max_cols,
+        )
     return jnp.concatenate([xs_g[:1], xs_u, xs_g[1:]], axis=0)
 
 
@@ -990,11 +1171,15 @@ class SegmentedBandedQR(QRSolver):
         mec = int(cg["emit_rows"].max())
         ciu = int(cis[1]) if nbc >= 3 else int(cis[0])
         if (
-            nbc >= 16
+            nbc >= 8
             and mcc <= 32
             and crs[0] == 0
             and (cis[1 : nbc - 1] == ciu).all()
         ):
+            # nbc >= 8: even a 12-step grouped chain costs ~216 µs/step in
+            # the scan (profiled on the config-3 plan: 2.6 ms for 12 steps of
+            # the unrolled 32-column body) — a single kernel launch is far
+            # under that at any step count the segmented gate admits
             nsub = 8
             nbp = -(-nbc // nsub) * nsub
             sent = S * 4 * o * o
@@ -1158,6 +1343,22 @@ class SegmentedBandedQR(QRSolver):
             if self._bs_uniform:
                 self._eru = jnp.asarray(eru)
                 self._ncu = jnp.asarray(ncu)
+                # host tuples select the unrolled-static back-substitution
+                # (static slices + only-er-rows triangular unroll; the scan
+                # form pays ~27 µs/step of step latency)
+                self._bs_static = (
+                    tuple(int(x) for x in s1u),
+                    tuple(int(x) for x in eru),
+                    tuple(int(x) for x in ncu),
+                )
+                self._bs_gen_static = tuple(
+                    (
+                        tuple(int(x) for x in lg["cols"][s][: int(act[s].sum())]),
+                        tuple(int(x) for x in em[s][: int(act[s].sum())]),
+                        tuple(int(x) for x in ncl[s][: int(act[s].sum())]),
+                    )
+                    for s in [0] + list(range(1 + self._bs_nuni, S))
+                )
 
     def _prepare_pallas_gate(self):
         """Decide whether the fused Pallas segment-chain kernel can run phase 1
@@ -1763,6 +1964,17 @@ class SegmentedBandedQR(QRSolver):
             valid[s, :n] = True
         self._seg_gather = _imap(gather)
         self._seg_valid = jnp.asarray(valid)
+        # contiguity fast path: when segments tile [0, nrows) in R-row chunks
+        # (every interior segment full, the tail possibly short), the padded
+        # per-segment gather of a length-nrows vector is a pad + reshape —
+        # the element gather costs ~0.7 ms at 100k rows (150M elem/s), the
+        # reshape is free
+        r0 = np.asarray(self._seg_row0, dtype=np.int64)
+        sr = np.asarray(self._seg_rows, dtype=np.int64)
+        self._seg_contig = bool(
+            (r0 == np.arange(S, dtype=np.int64) * R).all()
+            and (sr == np.minimum(R, self._nrows - r0)).all()
+        )
         # output reordering: all segments' R-rows (n_loc each) first, then rest
         order = []
         for s in range(S):
@@ -1879,6 +2091,17 @@ class SegmentedBandedQR(QRSolver):
             cv[s, :n] = True
         self._col_gather = _imap(cg)
         self._col_valid = jnp.asarray(cv)
+        # run-structure fast path: the R-row block of the solve work vector
+        # ([m1], global-column order) is the concatenation of per-segment
+        # contiguous runs exactly when each segment's local columns start at
+        # the cumulative count — then rhs windows never need the [m1] vector
+        # at all (the fused solve reads them straight off the [S, R] apply
+        # output and skips a full-length scatter + reorder gather)
+        c0 = np.asarray(self._seg_col0, dtype=np.int64)
+        nc = np.asarray(self._seg_ncols, dtype=np.int64)
+        self._col_runs = bool(
+            (c0 == np.concatenate([[0], np.cumsum(nc)[:-1]])).all()
+        )
 
     def solve_r(self, y: jnp.ndarray) -> jnp.ndarray:
         """Two-phase back-substitution: boundary chain, then vmapped interior."""
@@ -1924,6 +2147,8 @@ class SegmentedBandedQR(QRSolver):
                      ncols_loc_d=self._ncols_d, active_d=self._active_d,
                      s1u=self._s1u, eru=self._eru, ncu=self._ncu),
                 self._max_emit, mc, self._bs_nuni,
+                bss=getattr(self, "_bs_static", None),
+                bs_gen=getattr(self, "_bs_gen_static", None),
             )
         else:
             xs = jax.vmap(
@@ -2005,9 +2230,24 @@ class SegmentedBandedQR(QRSolver):
             self._sol_meta["spu"] = self._spu
         bsu = p2u and self._bs_uniform
         bs_nuni = self._bs_nuni if bsu else 0
+        bss = getattr(self, "_bs_static", None) if bsu else None
+        bsg = getattr(self, "_bs_gen_static", None) if bsu else None
         if bsu:
             self._sol_meta["eru"] = self._eru
             self._sol_meta["ncu"] = self._ncu
+        # segment-space fast paths (see _gather_maps/_ensure_col_gather):
+        # seg_contig lets the input gather become pad+reshape; col_runs lets
+        # the whole pipeline stay in [S, R] segment space — the bottom
+        # windows are batched dynamic slices of the apply output and the
+        # interior rhs is formed per segment, skipping the full-length
+        # scatter, the R-rows-first reorder gather, and the [rbot_max, S]
+        # bottom gather (three ~100k-element index ops, ~0.6 ms each on TPU)
+        seg_contig = self._seg_contig
+        col_runs = self._col_runs
+        R_seg, rbm = self._max_seg_rows, self._rbot_max
+        if col_runs:
+            self._sol_meta["bot_starts"] = self._bot_starts
+            self._sol_meta["rbot_valid"] = self._rbot_valid
 
         @jax.jit
         def sol(Yws, Ts, Yb, Tb, chain_seq, chain_r, j2_top, r_panels, b, meta):
@@ -2020,13 +2260,17 @@ class SegmentedBandedQR(QRSolver):
             seg_gather, seg_valid = meta["seg_gather"], meta["seg_valid"]
             col_gather, col_valid = meta["col_gather"], meta["col_valid"]
             # Q1ᵀ b (per-segment), lane-major ([S, 1, rows] — a [rows, 1]
-            # vector operand would be 128×-padded in the lane dim), then
-            # reordered R-rows-first
-            vt = jnp.where(
-                seg_valid[:, None, :],
-                b[jnp.clip(seg_gather, 0, nrows_tot - 1)][:, None, :],
-                jnp.zeros((), dt),
-            )
+            # vector operand would be 128×-padded in the lane dim)
+            if seg_contig:
+                vt = jnp.pad(b, (0, S * R_seg - nrows_tot)).reshape(
+                    S, 1, R_seg
+                )
+            else:
+                vt = jnp.where(
+                    seg_valid[:, None, :],
+                    b[jnp.clip(seg_gather, 0, nrows_tot - 1)][:, None, :],
+                    jnp.zeros((), dt),
+                )
             out = (
                 _apply_cols_split(Yws, Ts, meta, vt, h1, True, nuni, p2s, p2g)
                 if p2u
@@ -2035,21 +2279,38 @@ class SegmentedBandedQR(QRSolver):
                     vt, h1, True,
                 )
             )
-            scat = jnp.zeros((nrows_tot,), dt)
-            scat = scat.at[seg_gather.reshape(-1)].set(
-                out[:, 0, :].reshape(-1), mode="drop"
-            )
-            top = scat[meta["row_order"]]
             # compressed boundary reduction Qᵀ + back-substitution: only the
             # chain-space rows matter for x2, so the pass-through rows of the
             # full _bot_qt are skipped — and the whole apply runs in the SoA
             # layout Yb is stored in ([rbot, 2o, S], segments in lanes),
             # forming only the 2o chain-space output rows
-            w = jnp.where(
-                meta["rbot_valid_t"][:, None, :],
-                top[m1:][jnp.clip(meta["rbot_gather_t"], 0, nbot - 1)][:, None, :],
-                jnp.zeros((), dt),
-            )  # [rbot_max, 1, S]
+            if col_runs:
+                # segment-space form: bottom windows are per-segment
+                # contiguous runs of the apply output right after the local
+                # R rows — one batched dynamic slice, no [nrows] scatter +
+                # reorder gather + [rbot_max, S] bottom gather
+                out2 = out[:, 0, :]  # [S, R]
+                outp = jnp.concatenate(
+                    [out2, jnp.zeros((S, rbm), dt)], axis=1
+                )
+                wrows = jax.vmap(
+                    lambda row, st: jax.lax.dynamic_slice(row, (st,), (rbm,))
+                )(outp, meta["bot_starts"])
+                wrows = jnp.where(meta["rbot_valid"], wrows, jnp.zeros((), dt))
+                w = wrows.T[:, None, :]  # [rbot_max, 1, S]
+            else:
+                scat = jnp.zeros((nrows_tot,), dt)
+                scat = scat.at[seg_gather.reshape(-1)].set(
+                    out[:, 0, :].reshape(-1), mode="drop"
+                )
+                top = scat[meta["row_order"]]
+                w = jnp.where(
+                    meta["rbot_valid_t"][:, None, :],
+                    top[m1:][jnp.clip(meta["rbot_gather_t"], 0, nbot - 1)][
+                        :, None, :
+                    ],
+                    jnp.zeros((), dt),
+                )  # [rbot_max, 1, S]
             w2o = _batched_wy_soa(Yb, Tb, w, True, out_rows=2 * o)
             ybot = chain_seq.apply_qt(w2o[:, 0, :].T.reshape(nbot2))
             x2 = banded_solve_r(
@@ -2063,16 +2324,32 @@ class SegmentedBandedQR(QRSolver):
             contrib = highest_precision(jnp.einsum)(
                 "sjn,sj->sn", j2_top, x2pad[meta["x2_idx"]]
             )
-            idx_top = jnp.where(
-                col_valid[:, :nloc_max], col_gather[:, :nloc_max], m1
-            )
-            rhs1 = top[:m1] - jnp.zeros((m1,), dt).at[idx_top].add(
-                contrib, mode="drop"
-            )
-            ypad = jnp.where(col_valid, rhs1[col_gather], jnp.zeros((), dt))
+            if col_runs:
+                # interior rhs per segment straight off the apply output:
+                # top[:m1] is the concatenation of out2[s, :nloc[s]] runs,
+                # and col_gather windows are exactly those runs
+                rhs_seg = out2[:, :nloc_max] - contrib  # [S, nloc_max]
+                ypad = jnp.where(
+                    col_valid,
+                    jnp.concatenate(
+                        [rhs_seg, jnp.zeros((S, mc), dt)], axis=1
+                    ),
+                    jnp.zeros((), dt),
+                )
+            else:
+                idx_top = jnp.where(
+                    col_valid[:, :nloc_max], col_gather[:, :nloc_max], m1
+                )
+                rhs1 = top[:m1] - jnp.zeros((m1,), dt).at[idx_top].add(
+                    contrib, mode="drop"
+                )
+                ypad = jnp.where(
+                    col_valid, rhs1[col_gather], jnp.zeros((), dt)
+                )
             if bsu:
                 xs = _interior_backsub_split(
-                    ypad, r_panels, meta, max_emit, mc, bs_nuni
+                    ypad, r_panels, meta, max_emit, mc, bs_nuni,
+                    bss=bss, bs_gen=bsg,
                 )
             else:
                 xs = jax.vmap(
@@ -2117,6 +2394,12 @@ class SegmentedBandedQR(QRSolver):
         p2g = getattr(self, "_p2_gen_static", None) if p2u else None
         bsu = p2u and self._bs_uniform
         bs_nuni = self._bs_nuni if bsu else 0
+        bss = getattr(self, "_bs_static", None) if bsu else None
+        bsg = getattr(self, "_bs_gen_static", None) if bsu else None
+        seg_contig = self._seg_contig
+        col_runs = self._col_runs
+        S_ = self.S
+        R_seg, rbm = self._max_seg_rows, self._rbot_max
 
         @jax.jit
         def sol_mat(Yws, Ts, Yb, Tb, chain_seq, chain_r, j2_top, r_panels, b2, meta):
@@ -2127,13 +2410,21 @@ class SegmentedBandedQR(QRSolver):
             r_panels = jnp.moveaxis(r_panels, -1, 0)
             seg_gather, seg_valid = meta["seg_gather"], meta["seg_valid"]
             col_gather, col_valid = meta["col_gather"], meta["col_valid"]
-            vt = jnp.where(
-                seg_valid[:, None, :],
-                jnp.moveaxis(
-                    b2[jnp.clip(seg_gather, 0, nrows_tot - 1)], 1, 2
-                ),
-                jnp.zeros((), dt),
-            )  # [S, k, R]
+            if seg_contig:
+                vt = jnp.moveaxis(
+                    jnp.pad(
+                        b2, ((0, S_ * R_seg - nrows_tot), (0, 0))
+                    ).reshape(S_, R_seg, k),
+                    1, 2,
+                )  # [S, k, R]
+            else:
+                vt = jnp.where(
+                    seg_valid[:, None, :],
+                    jnp.moveaxis(
+                        b2[jnp.clip(seg_gather, 0, nrows_tot - 1)], 1, 2
+                    ),
+                    jnp.zeros((), dt),
+                )  # [S, k, R]
             out = (
                 _apply_cols_split(Yws, Ts, meta, vt, h1, True, nuni, p2s, p2g)
                 if p2u
@@ -2142,18 +2433,33 @@ class SegmentedBandedQR(QRSolver):
                     vt, h1, True,
                 )
             )
-            scat = jnp.zeros((nrows_tot, k), dt)
-            scat = scat.at[seg_gather.reshape(-1)].set(
-                jnp.moveaxis(out, 1, 2).reshape(-1, k), mode="drop"
-            )
-            top = scat[meta["row_order"]]
-            w = jnp.where(
-                meta["rbot_valid_t"][:, None, :],
-                jnp.moveaxis(
-                    top[m1:][jnp.clip(meta["rbot_gather_t"], 0, nbot - 1)], 1, 2
-                ),
-                jnp.zeros((), dt),
-            )  # [rbot_max, k, S]
+            if col_runs:
+                outp = jnp.concatenate(
+                    [out, jnp.zeros((S_, k, rbm), dt)], axis=2
+                )
+                wrows = jax.vmap(
+                    lambda rows, st: jax.lax.dynamic_slice(
+                        rows, (jnp.zeros((), st.dtype), st), (k, rbm)
+                    )
+                )(outp, meta["bot_starts"])  # [S, k, rbm]
+                wrows = jnp.where(
+                    meta["rbot_valid"][:, None, :], wrows, jnp.zeros((), dt)
+                )
+                w = jnp.transpose(wrows, (2, 1, 0))  # [rbot_max, k, S]
+            else:
+                scat = jnp.zeros((nrows_tot, k), dt)
+                scat = scat.at[seg_gather.reshape(-1)].set(
+                    jnp.moveaxis(out, 1, 2).reshape(-1, k), mode="drop"
+                )
+                top = scat[meta["row_order"]]
+                w = jnp.where(
+                    meta["rbot_valid_t"][:, None, :],
+                    jnp.moveaxis(
+                        top[m1:][jnp.clip(meta["rbot_gather_t"], 0, nbot - 1)],
+                        1, 2,
+                    ),
+                    jnp.zeros((), dt),
+                )  # [rbot_max, k, S]
             w2o = _batched_wy_soa(Yb, Tb, w, True, out_rows=2 * o)
             ybot = jnp.moveaxis(w2o, 2, 0).reshape(nbot2, k)
             ybot = chain_seq.apply_qt(ybot)
@@ -2170,19 +2476,32 @@ class SegmentedBandedQR(QRSolver):
             contrib = highest_precision(jnp.einsum)(
                 "sjn,sjk->snk", j2_top, x2pad[meta["x2_idx"]]
             )
-            idx_top = jnp.where(
-                col_valid[:, :nloc_max], col_gather[:, :nloc_max], m1
-            )
-            rhs1 = top[:m1] - jnp.zeros((m1, k), dt).at[idx_top].add(
-                contrib, mode="drop"
-            )
-            ypad = jnp.where(
-                col_valid[..., None], rhs1[col_gather], jnp.zeros((), dt)
-            )  # [S, nloc+mc, k]
+            if col_runs:
+                rhs_seg = (
+                    jnp.moveaxis(out[:, :, :nloc_max], 1, 2) - contrib
+                )  # [S, nloc_max, k]
+                ypad = jnp.where(
+                    col_valid[..., None],
+                    jnp.concatenate(
+                        [rhs_seg, jnp.zeros((S_, mc, k), dt)], axis=1
+                    ),
+                    jnp.zeros((), dt),
+                )  # [S, nloc+mc, k]
+            else:
+                idx_top = jnp.where(
+                    col_valid[:, :nloc_max], col_gather[:, :nloc_max], m1
+                )
+                rhs1 = top[:m1] - jnp.zeros((m1, k), dt).at[idx_top].add(
+                    contrib, mode="drop"
+                )
+                ypad = jnp.where(
+                    col_valid[..., None], rhs1[col_gather], jnp.zeros((), dt)
+                )  # [S, nloc+mc, k]
             if bsu:
                 xs = jax.vmap(
                     lambda yp: _interior_backsub_split(
-                        yp, r_panels, meta, max_emit, mc, bs_nuni
+                        yp, r_panels, meta, max_emit, mc, bs_nuni,
+                        bss=bss, bs_gen=bsg,
                     ),
                     in_axes=2, out_axes=2,
                 )(ypad)

@@ -200,3 +200,70 @@ def test_shared_backsub_gate_and_equality(rng):
     qr._solve_fn = None
     x_general = np.asarray(qr.solve(b))
     np.testing.assert_allclose(x_shared, x_general, atol=1e-10)
+
+
+def test_stream_gap_mode_equality(rng):
+    """The two-region ('gap') streaming phase-2 apply must bit-match the
+    unrolled-static whole-buffer form on randomized gapped geometries
+    (tall blocks: block rows >> column step, the config-3 regime where the
+    mono window grows O(L * block_rows) wide)."""
+    from qrkit_tpu.solvers.segmented_banded import (
+        _p2_stream_plan,
+        _segment_apply_cols_stream,
+        _segment_apply_cols_shared_static,
+    )
+
+    saw_gap = False
+    for trial in range(4):
+        if trial < 2:  # config-3-like: tall blocks, long chain — must be gap
+            br, step, L = int(rng.integers(30, 48)), 4, 16
+        else:
+            br = int(rng.integers(12, 48))   # block rows
+            step = int(rng.integers(2, 7))   # column advance per step
+            L = int(rng.integers(6, 20))
+        o = step                             # emitted rows per step
+        sp = 2 * o                           # carry depth
+        A = sp + br
+        S, k = 5, 3
+        s1t = tuple(max(0, o * (l - 1)) for l in range(L))
+        s2t = tuple(br * l for l in range(L))
+        spt = (0,) + (sp,) * (L - 1)
+        R = br * L + sp
+        plan = _p2_stream_plan(s1t, s2t, spt, A, L, R)
+        assert plan is not None
+        if trial < 2:
+            assert plan["mode"] == "gap", (br, step, L, plan)
+        saw_gap = saw_gap or plan["mode"] == "gap"  # noqa: F841 (documents intent)
+        Yws = jnp.asarray(rng.normal(size=(S, L, A, o)))
+        Ts = jnp.asarray(rng.normal(size=(S, L, o, o)))
+        vt = jnp.asarray(rng.normal(size=(S, k, R)))
+        out_s = np.asarray(
+            _segment_apply_cols_stream(Yws, Ts, s1t, s2t, spt, vt, True)
+        )
+        out_u = np.asarray(
+            _segment_apply_cols_shared_static(
+                Yws, Ts, s1t, s2t, spt, vt, sp, True
+            )
+        )
+        np.testing.assert_allclose(out_s, out_u, rtol=0, atol=1e-12)
+
+
+def test_segment_space_solve_fast_path_equality(rng):
+    """The segment-space fused solve (seg_contig + col_runs fast paths: pad+
+    reshape input, batched-slice bottom windows, per-segment rhs — no global
+    scatter/reorder) must match the general indexed path bit-for-bit on the
+    same factors, for vector and matrix RHS."""
+    mat = _bench_shape_banded(160, rng, br=40, bc=8, ov=4)
+    qr = SegmentedBandedQR(suggested_block_cols=8, segment_blocks=32).compute(mat)
+    assert qr._delegate is None
+    b = jnp.asarray(rng.normal(size=mat.nrows))
+    B = jnp.asarray(rng.normal(size=(mat.nrows, 3)))
+    x_fast = np.asarray(qr.solve(b))
+    xm_fast = np.asarray(qr.solve(B))
+    assert qr._seg_contig and qr._col_runs  # the fast paths actually engaged
+    qr._seg_contig = qr._col_runs = False
+    qr._solve_fn = qr._solve_mat_fn = None
+    x_gen = np.asarray(qr.solve(b))
+    xm_gen = np.asarray(qr.solve(B))
+    np.testing.assert_allclose(x_fast, x_gen, rtol=0, atol=1e-12)
+    np.testing.assert_allclose(xm_fast, xm_gen, rtol=0, atol=1e-12)
