@@ -45,7 +45,7 @@ from .solvers import (
 from .auto import auto_qr
 from .lm import LMConfig, LMResult, levenberg_marquardt
 from .persist import load_analysis, plan_from_json, plan_to_json, save_analysis
-from .profiling import Timer, timed, trace
+from .profiling import Timer, count_dispatches, timed, trace
 
 __version__ = "0.1.0"
 
@@ -81,6 +81,7 @@ __all__ = [
     "plan_to_json",
     "save_analysis",
     "Timer",
+    "count_dispatches",
     "timed",
     "trace",
 ]

@@ -32,7 +32,7 @@ from ..ops.compact_wy import TwoSegmentWYSeq
 from ..ops.householder import highest_precision, panel_qr_yt
 from ..plan import StructurePlan
 from ..sparse import Permutation, SparseCSR
-from .base import ComputationInfo, QRSolver
+from .base import ComputationInfo, QRSolver, _diag_health
 
 __all__ = ["BandedBlockedQR", "banded_geometry", "banded_factorize", "banded_solve_r"]
 
@@ -274,6 +274,18 @@ def _banded_solve_chunk(
     xs = (r_panels, cols, emit_rows, ncols_arr, active)
     xpad, _ = jax.lax.scan(body, xpad, xs, reverse=True)
     return xpad
+
+
+def _rdiag_from_panels(r_panels, cols_d, emit_d, ncols: int) -> jnp.ndarray:
+    """diag(R) scattered from [nb, max_emit, max_cols] panels (traceable:
+    called inside the fused factorize programs so the health check never
+    costs its own dispatches)."""
+    d = jnp.diagonal(r_panels, axis1=1, axis2=2)  # [nb, k]
+    j = jnp.arange(d.shape[1])
+    pos = cols_d.astype(jnp.int32)[:, None] + j[None, :]
+    valid = j[None, :] < emit_d[:, None]
+    idx = jnp.where(valid, pos, ncols)  # OOB lanes dropped
+    return jnp.zeros((ncols,), d.dtype).at[idx].set(d, mode="drop")
 
 
 def banded_solve_r(
@@ -526,8 +538,8 @@ class BandedBlockedQR(QRSolver):
         # programs also degrade subsequent tunnel transfers.
         self._build_fac_fn(pallas_on)
         data_dev = jnp.asarray(np.asarray(pmat.data, dtype))
-        self.q_seq, self._r_panels_f = self._run_fac(data_dev)
-        self._set_success()
+        self.q_seq, self._r_panels_f, health = self._run_fac(data_dev)
+        self._set_success(health)
         return self
 
     def _build_fac_fn(self, pallas_on: bool):
@@ -535,6 +547,17 @@ class BandedBlockedQR(QRSolver):
             return
         mA, mC = self._max_active, self._max_cols
         mCa, mE, m = self._max_carry, self._max_emit, self._nrows
+        ncols, chk = self._ncols, self._health_check_zero_pivot
+
+        def _health(Vs, solve_meta):
+            # fold the info() health probe into the factorize program: the
+            # eager r_diagonal assembly cost ~20 dispatch round trips per
+            # refactorize through the accelerator tunnel
+            cols_d, emit_d, _ = solve_meta
+            return _diag_health(
+                _rdiag_from_panels(Vs, cols_d, emit_d, ncols), check_zero=chk
+            )
+
         if pallas_on:
             from ..ops.householder import build_t_factor
             from ..ops.pallas_banded import pallas_chain_qr
@@ -544,7 +567,7 @@ class BandedBlockedQR(QRSolver):
             interp = self._pallas_interpret
 
             @jax.jit
-            def _fac_k(data, gmap_t, geom, act):
+            def _fac_k(data, gmap_t, geom, act, solve_meta):
                 pad = jnp.concatenate([data, jnp.zeros((1,), data.dtype)])
                 y_t, taus, v_t = pallas_chain_qr(
                     pad[gmap_t], act, **ck, interpret=interp
@@ -558,13 +581,13 @@ class BandedBlockedQR(QRSolver):
                     geom["carry_rows"].astype(jnp.int32),
                     h1=max(mCa, 1), m=m,
                 )
-                return seq, Vs.reshape(Vs.shape[0], -1)
+                return seq, Vs.reshape(Vs.shape[0], -1), _health(Vs, solve_meta)
 
             self._fac_fn = _fac_k
         else:
 
             @jax.jit
-            def _fac(data, gmap, geom):
+            def _fac(data, gmap, geom, solve_meta):
                 seq, Vs = banded_factorize(
                     _gather_panels(data, gmap), geom,
                     max_active=mA, max_cols=mC, max_carry=mCa, max_emit=mE, m=m,
@@ -573,7 +596,11 @@ class BandedBlockedQR(QRSolver):
                 # output gets the default tiled layout, padding the mc << 128
                 # minor dim ~(128/mc)-fold in HBM (the WY factors inside seq
                 # already store flattened, see TwoSegmentWYSeq)
-                return seq, Vs.reshape(Vs.shape[0], -1)
+                return (
+                    seq,
+                    Vs.reshape(Vs.shape[0], -1),
+                    _health(Vs, solve_meta),
+                )
 
             self._fac_fn = _fac
         self._fac_mode = pallas_on
@@ -581,9 +608,10 @@ class BandedBlockedQR(QRSolver):
     def _run_fac(self, vals):
         if self._fac_mode:
             return self._fac_fn(
-                vals, self._panel_gmap_t, self._geom_dev, self._chain_act
+                vals, self._panel_gmap_t, self._geom_dev, self._chain_act,
+                self._solve_meta,
             )
-        return self._fac_fn(vals, self._panel_gmap, self._geom_dev)
+        return self._fac_fn(vals, self._panel_gmap, self._geom_dev, self._solve_meta)
 
     def factorize_values(self, values) -> "BandedBlockedQR":
         """Refactorize from a vector of stored-nonzero VALUES — the
@@ -617,8 +645,8 @@ class BandedBlockedQR(QRSolver):
             vals = vals.astype(dtype)
         if self._data_perm is not None:
             vals = vals[self._data_perm]
-        self.q_seq, self._r_panels_f = self._run_fac(vals)
-        self._set_success()
+        self.q_seq, self._r_panels_f, health = self._run_fac(vals)
+        self._set_success(health)
         return self
 
     @property
@@ -631,15 +659,7 @@ class BandedBlockedQR(QRSolver):
         """diag(R) scattered from the per-block R panels (emit rows partition
         the columns disjointly — plan.solved_rows geometry)."""
         cols_d, emit_d, _ = self._solve_meta
-        d = jnp.diagonal(self.r_panels, axis1=1, axis2=2)  # [nb, k]
-        k = d.shape[1]
-        j = jnp.arange(k)
-        pos = cols_d[:, None] + j[None, :]
-        valid = j[None, :] < emit_d[:, None]
-        idx = jnp.where(valid, pos, self._ncols)  # OOB lanes dropped
-        return (
-            jnp.zeros((self._ncols,), d.dtype).at[idx].set(d, mode="drop")
-        )
+        return _rdiag_from_panels(self.r_panels, cols_d, emit_d, self._ncols)
 
     # --- Q / R ----------------------------------------------------------------------
     def apply_q(self, m: jnp.ndarray) -> jnp.ndarray:
@@ -734,8 +754,6 @@ class BandedBlockedQR(QRSolver):
         """Least-squares solve as ONE compiled program per plan (the
         protocol-default eager apply_qt → solve_r path issues a dispatch
         round trip per primitive through a remote-accelerator tunnel)."""
-        if b.ndim != 1:
-            return super().solve(b)
         if getattr(self, "_sol_fn", None) is None:
             n, me, mc = self._ncols, self._max_emit, self._max_cols
 
@@ -743,10 +761,16 @@ class BandedBlockedQR(QRSolver):
             def _sol(q_seq, r_panels_f, meta, b):
                 cols_d, emit_d, ncols_d = meta
                 y = q_seq.apply_qt(b)
-                return banded_solve_r(
-                    r_panels_f.reshape(-1, me, mc), cols_d, emit_d, ncols_d,
-                    y[:n], max_emit=me, max_cols=mc, n=n,
-                )
+
+                def solve1(y1):
+                    return banded_solve_r(
+                        r_panels_f.reshape(-1, me, mc), cols_d, emit_d,
+                        ncols_d, y1, max_emit=me, max_cols=mc, n=n,
+                    )
+
+                if b.ndim == 2:  # matrix RHS: batched Qᵀ + vmapped backsub
+                    return jax.vmap(solve1, in_axes=1, out_axes=1)(y[:n])
+                return solve1(y[:n])
 
             self._sol_fn = _sol
         return self._sol_fn(self.q_seq, self._r_panels_f, self._solve_meta, b)

@@ -90,11 +90,22 @@ class QRSolver(abc.ABC):
     # a first-class, reported condition there, not a numerical issue.
     _health_check_zero_pivot = True
 
-    def _set_success(self):
-        """End-of-compute hook: mark SUCCESS and launch the async health check."""
+    def _set_success(self, health=None):
+        """End-of-compute hook: mark SUCCESS and launch the async health check.
+
+        ``health`` lets a fused factorize program hand over the check scalar
+        it already computed on device: the default eager ``r_diagonal()``
+        assembly costs ~10-40 tiny dispatches per factorize — pure launch
+        latency through a remote-accelerator tunnel — so hot solvers fold the
+        diag + finiteness reduction into their single compiled factorize
+        program and pass the scalar here (pinned by tests/test_dispatch_count.py)."""
         self._info = ComputationInfo.SUCCESS
-        self._health = _diag_health(
-            self.r_diagonal(), check_zero=self._health_check_zero_pivot
+        self._health = (
+            health
+            if health is not None
+            else _diag_health(
+                self.r_diagonal(), check_zero=self._health_check_zero_pivot
+            )
         )
 
     # --- factorization --------------------------------------------------------------

@@ -109,7 +109,12 @@ class _RowSubsetQR(QRSolver):
         sub = np.zeros((k, n), dtype=mat.data.dtype if mat.nnz else np.float64)
         sub[plan["sub_r"], plan["sub_c"]] = mat.data[plan["g"]]
         self.inner.compute(jnp.asarray(sub))
-        self._info = self.inner.info()
+        # propagate status WITHOUT fetching: inner.info() would block on the
+        # async health scalar (one device->host round trip per compute); hand
+        # the unfetched scalar to this wrapper's own lazy info() instead
+        self._info = self.inner._info
+        self._health = self.inner._health
+        self.inner._health = None
         return self
 
     def _split(self, v):
@@ -454,15 +459,22 @@ class BlockAngularQR(QRSolver):
         from .base import _diag_health
 
         self._info = ComputationInfo.SUCCESS
+
+        def child_health(c, ncols):
+            # each child's compute just launched its own health scalar with
+            # exactly the semantics wanted here (full diag, its own
+            # check_zero); reuse it instead of re-assembling r_diagonal
+            # eagerly (~20 tiny dispatches per child through the tunnel)
+            h = getattr(c, "_health", None)
+            if h is not None:
+                return h
+            return _diag_health(
+                c.r_diagonal()[:ncols], check_zero=c._health_check_zero_pivot
+            )
+
         self._health = jnp.logical_and(
-            _diag_health(
-                self.left.r_diagonal()[: self._m1],
-                check_zero=self.left._health_check_zero_pivot,
-            ),
-            _diag_health(
-                self.right.r_diagonal()[: self._m2],
-                check_zero=self.right._health_check_zero_pivot,
-            ),
+            child_health(self.left, self._m1),
+            child_health(self.right, self._m2),
         )
 
     # --- implicit Q (BlockAngularSparseQR.h:532-649) --------------------------------

@@ -35,9 +35,18 @@ from ..ops.householder import (
     rank_masked_triangular_solve,
 )
 from ..sparse import Permutation, SparseCSR
-from .base import ComputationInfo, QRSolver
+from .base import ComputationInfo, QRSolver, _diag_health
 
 __all__ = ["BlockedThinDenseQR", "BlockedThinSparseQR"]
+
+
+@functools.partial(jax.jit, static_argnames=("n", "check_zero"))
+def _thin_finish_r(working, n: int, check_zero: bool):
+    """triu + pivot diagonal + info() health scalar as ONE program (the eager
+    triple cost three dispatch round trips per factorize through the tunnel)."""
+    R = jnp.triu(working)
+    d = jnp.diagonal(R[:n, :n])
+    return R, d, _diag_health(d, check_zero=check_zero)
 
 
 def _panel_starts(n: int, c: int) -> List[int]:
@@ -339,7 +348,9 @@ class BlockedThinSparseQR(QRSolver):
         self.q_seq = CompactWYSeq(
             Y_stack, T_stack, jnp.asarray(starts, dtype=jnp.int32), self._m
         )
-        self._R = jnp.triu(working)
+        self._R, self._diag_dev, self._health_dev = _thin_finish_r(
+            working, n=self._n, check_zero=self._health_check_zero_pivot
+        )
         # combined column permutation: density ordering then in-panel pivots
         # (m_outputPerm_c * m_houseColPerm, BlockedThinSparseQR.h:159)
         sigma1 = self._col_perm.indices
@@ -351,11 +362,10 @@ class BlockedThinSparseQR(QRSolver):
         # The diagonal stays on the device — the bookkeeping host fetch is
         # LAZY (first rank()/house perm/solve access), so factorize itself
         # never blocks on a device round trip.
-        self._diag_dev = jnp.diagonal(self._R[: self._n, : self._n])
         self._deficiency_cache = None
         self._repair = None  # lazy COD factors for rank-deficient solves
 
-        self._set_success()
+        self._set_success(self._health_dev)
         return self
 
     def _deficiency(self):

@@ -22,7 +22,7 @@ from ..ops.householder import (
     rank_masked_triangular_solve,
 )
 from ..sparse import Permutation, SparseCSR
-from .base import ComputationInfo, QRSolver
+from .base import ComputationInfo, QRSolver, _diag_health
 
 __all__ = ["DenseHouseholderQR", "DenseColPivQR"]
 
@@ -36,6 +36,24 @@ def _dense_qr(a, panel_width=16):
 def _dense_colpiv_qr(a):
     Y, taus, R, perm = colpiv_householder_qr(a)
     return Y, build_t_factor(Y, taus), R, perm
+
+
+# compute()-facing variants: triu + the info() health scalar fold into the
+# same program, so a dense factorize is exactly ONE dispatch (pinned by
+# tests/test_dispatch_count.py)
+@functools.partial(jax.jit, static_argnames=("panel_width",))
+def _dense_qr_h(a, panel_width=16):
+    Y, T, R = panel_qr_yt(a, panel_width=panel_width)
+    R = jnp.triu(R)
+    return Y, T, R, _diag_health(jnp.diagonal(R), check_zero=True)
+
+
+@jax.jit
+def _dense_colpiv_qr_h(a):
+    Y, taus, R, perm = colpiv_householder_qr(a)
+    R = jnp.triu(R)
+    T = build_t_factor(Y, taus)
+    return Y, T, R, perm, _diag_health(jnp.diagonal(R), check_zero=False)
 
 
 class _DenseQRBase(QRSolver):
@@ -94,9 +112,8 @@ class DenseHouseholderQR(_DenseQRBase):
     def compute(self, mat) -> "DenseHouseholderQR":
         a = self._coerce(mat)
         self._m, self._n = map(int, a.shape)
-        self._Y, self._T, R = _dense_qr(a)
-        self._R = jnp.triu(R)
-        self._set_success()
+        self._Y, self._T, self._R, health = _dense_qr_h(a)
+        self._set_success(health)
         return self
 
 
@@ -108,10 +125,9 @@ class DenseColPivQR(_DenseQRBase):
     def compute(self, mat) -> "DenseColPivQR":
         a = self._coerce(mat)
         self._m, self._n = map(int, a.shape)
-        self._Y, self._T, R, perm = _dense_colpiv_qr(a)
-        self._R = jnp.triu(R)
+        self._Y, self._T, self._R, perm, health = _dense_colpiv_qr_h(a)
         self._perm = Permutation(np.asarray(perm, dtype=np.int64))
-        self._set_success()
+        self._set_success(health)
         return self
 
     def cols_permutation(self) -> Permutation:

@@ -51,7 +51,7 @@ from ..ops.compact_wy import TwoSegmentWYSeq
 from ..ops.householder import highest_precision, panel_qr_yt_soa
 from ..sparse import Permutation, SparseCSR
 from .banded_blocked import _banded_factorize_chunk, _banded_solve_chunk, banded_geometry
-from .base import ComputationInfo, QRSolver
+from .base import ComputationInfo, QRSolver, _diag_health
 
 __all__ = ["SegmentedBandedQR"]
 
@@ -1530,13 +1530,13 @@ class SegmentedBandedQR(QRSolver):
         dtype = np.float32 if not jax.config.jax_enable_x64 else np.float64
         fac = self._get_factorize_fn(pallas_on)
         (self._Yws, self._Ts, self._r_panels, self._j2_top,
-         self._Yb, self._Tb, self._chain_seq, self._chain_r) = fac(
+         self._Yb, self._Tb, self._chain_seq, self._chain_r, health) = fac(
             jnp.asarray(np.asarray(pmat.data, dtype)), self._fac_meta
         )
         if self.mesh is not None:
             self._place_on_mesh()
 
-        self._set_success()
+        self._set_success(health)
         return self
 
     def factorize_values(self, values) -> "SegmentedBandedQR":
@@ -1568,12 +1568,12 @@ class SegmentedBandedQR(QRSolver):
             vals = vals[self._data_perm]
         fac = self._get_factorize_fn(self._pallas_active())
         (self._Yws, self._Ts, self._r_panels, self._j2_top,
-         self._Yb, self._Tb, self._chain_seq, self._chain_r) = fac(
+         self._Yb, self._Tb, self._chain_seq, self._chain_r, health) = fac(
             vals, self._fac_meta
         )
         if self.mesh is not None:
             self._place_on_mesh()
-        self._set_success()
+        self._set_success(health)
         return self
 
     def _place_on_mesh(self):
@@ -1672,6 +1672,9 @@ class SegmentedBandedQR(QRSolver):
             active_d=self._active_d, rows2d=self._rows2d,
             top_valid=self._top_valid, bot_starts=self._bot_starts,
             bot_valid=self._bot_valid, chain_geom=self._chain_geom_dev,
+            emit_d=self._emit_d, seg_col0=self._seg_col0_d,
+            chain_cols=self._chain_solve_meta[0],
+            chain_emit=self._chain_solve_meta[1],
         )
         pf, sf = self._panel_fast, self._slab_fast
         if pf is not None:
@@ -1809,6 +1812,32 @@ class SegmentedBandedQR(QRSolver):
             _phase1 = _phase1_xla
 
         rbm = self._rbot_max
+        ncols_total, m1 = self.cols, self._m1
+        chk = self._health_check_zero_pivot
+
+        def _health(Vs, chain_r, meta):
+            # info()'s health probe, folded into the factorize program (the
+            # eager r_diagonal assembly cost ~40 tiny dispatches per
+            # refactorize through the accelerator tunnel) — same scatter as
+            # :meth:`r_diagonal`, on the pre-moveaxis [S, L, me, mc] panels
+            d = jnp.diagonal(Vs, axis1=2, axis2=3)  # [S, L, k]
+            j = jnp.arange(d.shape[2])
+            pos = (
+                meta["seg_col0"][:, None, None]
+                + meta["starts"][:, :, None]
+                + j[None, None, :]
+            )
+            valid = (j[None, None, :] < meta["emit_d"][:, :, None]) & meta[
+                "active_d"
+            ][:, :, None]
+            idx = jnp.where(valid, pos, ncols_total)
+            out = jnp.zeros((ncols_total,), d.dtype).at[idx].set(d, mode="drop")
+            d2 = jnp.diagonal(chain_r, axis1=1, axis2=2)
+            j2 = jnp.arange(d2.shape[1])
+            pos2 = m1 + meta["chain_cols"].astype(jnp.int32)[:, None] + j2[None, :]
+            valid2 = j2[None, :] < meta["chain_emit"][:, None]
+            out = out.at[jnp.where(valid2, pos2, ncols_total)].set(d2, mode="drop")
+            return _diag_health(out, check_zero=chk)
 
         @jax.jit
         def fac(data, meta):
@@ -1911,6 +1940,7 @@ class SegmentedBandedQR(QRSolver):
             return (
                 jnp.moveaxis(Yws, 0, -1), jnp.moveaxis(Ts, 0, -1),
                 jnp.moveaxis(Vs, 0, -1), j2_top, Yb, Tb, chain_seq, chain_r,
+                _health(Vs, chain_r, meta),
             )
 
         self._fac_fn = fac
