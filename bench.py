@@ -44,8 +44,13 @@ import numpy as np
 
 # Block count overridable from the CLI (the driver runs the default 10k —
 # BASELINE.json config 2; `python bench.py 1000000` records the 1M-block
-# single-chip point)
-NB = int(sys.argv[1]) if len(sys.argv) > 1 else 10000
+# single-chip point).  Parsed only when run as a script: other benches import
+# helpers from here with their own (non-integer) argv.
+NB = (
+    int(sys.argv[1])
+    if __name__ == "__main__" and len(sys.argv) > 1
+    else 10000
+)
 BR, BC = 7, 2
 # wide spread: at ~4 us/solve the hi-lo difference must dwarf ms-level timer
 # noise on the ~30 ms tunnel round trip (800 iters x 4 us = 3 ms was within

@@ -27,14 +27,16 @@ def _random_geometry(idx: int):
     """Randomized banded geometry; the first cases force the config-3 regime
     (blocks much taller than the column step → gap rows in the chain)."""
     rng = np.random.default_rng(1000 + idx)
+    # the non-delegate segmented solver requires overlap <= column step
+    # (boundary groups must not straddle two segments), i.e. ov <= bc // 2
     if idx < 3:  # tall blocks: br ≫ step, the gapped regime
-        bc = int(rng.integers(3, 6))
-        ov = int(rng.integers(1, bc))
+        bc = int(rng.integers(4, 7))
+        ov = int(rng.integers(1, bc // 2 + 1))
         br = int((bc - ov) * rng.integers(5, 9))
         nb = int(rng.integers(9, 14))
     else:
-        bc = int(rng.integers(2, 6))
-        ov = int(rng.integers(1, bc))
+        bc = int(rng.integers(2, 7))
+        ov = int(rng.integers(1, bc // 2 + 1))
         br = int(rng.integers(bc + 1, 3 * bc + 2))
         nb = int(rng.integers(8, 16))
     permute = bool(idx % 3 == 2)

@@ -207,7 +207,7 @@ def test_stream_gap_mode_equality(rng):
     unrolled-static whole-buffer form on randomized gapped geometries
     (tall blocks: block rows >> column step, the config-3 regime where the
     mono window grows O(L * block_rows) wide)."""
-    from qrkit_tpu.solvers.segmented_banded import (
+    from qrkit_tpu.solvers.segmented_apply import (
         _p2_stream_plan,
         _segment_apply_cols_stream,
         _segment_apply_cols_shared_static,
