@@ -18,8 +18,10 @@ composite R is ever built on the solve path.
 """
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -35,6 +37,23 @@ def _to_device_dense(block) -> jnp.ndarray:
     if isinstance(block, SparseCSR):
         return jnp.asarray(block.to_dense())
     return jnp.asarray(block)
+
+
+# jitted so each is ONE dispatch: the eager .at[].set scatter decomposes into
+# ~18 program executions through the dispatch counter (and as many tunnel
+# launches), which defeated the point of keeping the pivot order on device
+@jax.jit
+def _inv_perm_gather(p, idx):
+    """``inverse(p)[idx]`` — old-column -> new-column positions for idx."""
+    inv = jnp.zeros_like(p).at[p].set(jnp.arange(p.shape[0], dtype=p.dtype))
+    return inv[idx]
+
+
+@functools.partial(jax.jit, static_argnames=("m1",))
+def _compose_gather(g1, p2, m1):
+    """``concat(g1, m1 + inverse(p2))`` — the composed solve back-gather."""
+    inv2 = jnp.zeros_like(p2).at[p2].set(jnp.arange(p2.shape[0], dtype=p2.dtype))
+    return jnp.concatenate([g1, (m1 + inv2).astype(g1.dtype)])
 
 
 class _RowSubsetQR(QRSolver):
@@ -227,13 +246,19 @@ class BlockAngularQR(QRSolver):
         if j2_bot is not None:
             self.right = _RowSubsetQR(self.right, plan_cache=self._plan_cache)
             self.right.compute(j2_bot)
-            sigma2 = self.right.cols_permutation()
-            inv_s2 = sigma2.inverse().indices  # old col -> new col position
-            self._r12_coo = (
-                self._top_rows_dev,
-                jnp.asarray(inv_s2[np.asarray(self._top_cols)]),
-                self._top_vals_dev,
-            )
+            # old col -> new col position, kept on DEVICE when the right
+            # solver deferred its pivot-order fetch (DenseColPivQR) — a host
+            # inverse here would block every warm recompute on a tunnel
+            # round trip
+            pd = self._right_perm_dev()
+            if pd is not None:
+                cols12 = _inv_perm_gather(
+                    pd, jnp.asarray(np.asarray(self._top_cols))
+                )
+            else:
+                inv_s2 = self.right.cols_permutation().inverse().indices
+                cols12 = jnp.asarray(inv_s2[np.asarray(self._top_cols)])
+            self._r12_coo = (self._top_rows_dev, cols12, self._top_vals_dev)
             self._r12 = None
         else:
             a2 = _to_device_dense(mat.right)
@@ -250,22 +275,34 @@ class BlockAngularQR(QRSolver):
             j2 = self.left.apply_qt(a2)
             self._j2_top = j2[: self._m1]
             self.right.compute(j2[self._m1 :])
-            # R top-right block with the right solver's column ordering applied
-            sigma2 = jnp.asarray(self.right.cols_permutation().indices)
+            # R top-right block with the right solver's column ordering
+            # applied — device pivot order when available (no host fetch)
+            pd = self._right_perm_dev()
+            sigma2 = (
+                pd
+                if pd is not None
+                else jnp.asarray(self.right.cols_permutation().indices)
+            )
             self._r12 = self._j2_top[:, sigma2]
 
-        # 5) composed permutations
-        s1 = self.left.cols_permutation().indices
-        s2 = self.right.cols_permutation().indices
-        self._cols_perm = Permutation(
-            np.concatenate([s1, self._m1 + np.asarray(s2)])
-        )
+        # 5) composed permutations: the host composition needs the right
+        # solver's pivot order fetched from device, so it is DEFERRED to the
+        # first cols_permutation() access; solve() uses a device-side gather
+        # instead (warm recompute + solve stay fetch-free end to end)
+        self._cols_perm = None
+        self._solve_gather = None
         rp = np.arange(self._n1, dtype=np.int64)
         rp[: self.left.rows] = self.left.rows_permutation().indices
         self._rows_perm = Permutation(rp)
 
         self._set_success()
         return self
+
+    def _right_perm_dev(self):
+        """The right solver's pivot order as a device array when it kept one
+        (:class:`DenseColPivQR` defers the host fetch); None otherwise."""
+        r = self.right.inner if isinstance(self.right, _RowSubsetQR) else self.right
+        return getattr(r, "_perm_dev", None)
 
     def _left_supports_sparse_a2(self) -> bool:
         from .block_diagonal import BlockDiagonalQR, QFormat
@@ -559,7 +596,45 @@ class BlockAngularQR(QRSolver):
         return jnp.concatenate([x1, x2])
 
     def cols_permutation(self) -> Permutation:
+        if self._cols_perm is None:
+            s1 = self.left.cols_permutation().indices
+            s2 = self.right.cols_permutation().indices
+            self._cols_perm = Permutation(
+                np.concatenate([s1, self._m1 + np.asarray(s2)])
+            )
         return self._cols_perm
 
     def rows_permutation(self) -> Permutation:
         return self._rows_perm
+
+    def _solve_gather_dev(self) -> jnp.ndarray:
+        """Composed column back-permutation as a device gather.
+
+        ``inverse(concat(s1, m1+s2)) == concat(inverse(s1), m1+inverse(s2))``
+        (the two blocks permute disjoint index ranges), so the right block's
+        inverse is formed on device from the un-fetched pivot order and the
+        left block's comes from its host (pattern-only) permutation."""
+        if self._solve_gather is None:
+            g1 = jnp.asarray(
+                np.asarray(self.left.cols_permutation().gather_indices())
+            )
+            pd = self._right_perm_dev()
+            if pd is None:
+                pd = jnp.asarray(
+                    np.asarray(self.right.cols_permutation().indices)
+                )
+            self._solve_gather = _compose_gather(g1, pd, m1=self._m1)
+        return self._solve_gather
+
+    def solve(self, b: jnp.ndarray) -> jnp.ndarray:
+        """:meth:`QRSolver.solve` with the final column back-permutation as a
+        DEVICE gather: the base implementation materializes the composed
+        ``cols_permutation()`` on host, which blocks on the right solver's
+        device pivot order — one tunnel round trip per solve after every warm
+        recompute (the LM pattern)."""
+        if b.ndim == 2:
+            y = self.apply_qt(b)
+            z = jax.vmap(self.solve_r, in_axes=1, out_axes=1)(y[: self.cols])
+        else:
+            z = self.solve_r(self.apply_qt(b)[: self.cols])
+        return z[self._solve_gather_dev()]

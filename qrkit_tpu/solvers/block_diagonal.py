@@ -135,14 +135,18 @@ class BlockDiagonalQR(QRSolver):
         self.Q, self.R, local_perm = _factorize_blocks(blocks, pivot=self.pivot)
 
         # global column permutation from per-block pivots (identity on any
-        # zero tail columns past nb*bc)
-        lp = np.asarray(local_perm)
-        base = np.arange(self._nb)[:, None] * self._bc
-        self._cols_perm = Permutation(
-            np.concatenate(
-                [(base + lp).reshape(-1), np.arange(self._nb * self._bc, self._ncols)]
-            )
-        )
+        # zero tail columns past nb*bc).  The pivot order is a device OUTPUT
+        # of the factorize program: np.asarray here would block compute() on
+        # the whole program + a device->host fetch (~31 ms tunnel round trip
+        # per warm recompute — the LM pattern), so the host composition is
+        # deferred to the first cols_permutation() access; the non-pivoting
+        # path is identity by construction and never touches the device.
+        if self.pivot:
+            self._local_perm_dev = local_perm
+            self._cols_perm = None
+        else:
+            self._local_perm_dev = None
+            self._cols_perm = Permutation.identity(self._ncols)
 
         self._computed = True
         self._set_success()
@@ -278,6 +282,17 @@ class BlockDiagonalQR(QRSolver):
         return x
 
     def cols_permutation(self) -> Permutation:
+        if self._cols_perm is None:
+            lp = np.asarray(self._local_perm_dev)
+            base = np.arange(self._nb)[:, None] * self._bc
+            self._cols_perm = Permutation(
+                np.concatenate(
+                    [
+                        (base + lp).reshape(-1),
+                        np.arange(self._nb * self._bc, self._ncols),
+                    ]
+                )
+            )
         return self._cols_perm
 
     def rows_permutation(self) -> Permutation:

@@ -126,11 +126,18 @@ class DenseColPivQR(_DenseQRBase):
         a = self._coerce(mat)
         self._m, self._n = map(int, a.shape)
         self._Y, self._T, self._R, perm, health = _dense_colpiv_qr_h(a)
-        self._perm = Permutation(np.asarray(perm, dtype=np.int64))
+        # the pivot order stays a DEVICE array: np.asarray(perm) here would
+        # block compute() on a device->host round trip (~31 ms through the
+        # accelerator tunnel), serializing every warm recompute in composite
+        # solvers (BlockAngularQR refactorizes one of these per LM iteration)
+        self._perm_dev = perm
+        self._perm = None
         self._set_success(health)
         return self
 
     def cols_permutation(self) -> Permutation:
+        if self._perm is None:
+            self._perm = Permutation(np.asarray(self._perm_dev, dtype=np.int64))
         return self._perm
 
     def solve_r(self, y: jnp.ndarray) -> jnp.ndarray:

@@ -240,7 +240,10 @@ def build_factorize_fn(self, pallas_on: bool = False):
             return jnp.sum(_extract_panels(pad, meta)) + jnp.sum(slab_t)
         Yws, Ts, Vs = _phase1(pad, meta)
         if upto == "phase1":
-            return jnp.sum(Vs) + jnp.sum(Yws[0, 0])
+            # keep slab extraction live (jnp.sum(slab_t)) so this probe is a
+            # true prefix of the pipeline — without it XLA DCEs the slab
+            # gather and the "extract" cumulative reads HIGHER than "phase1"
+            return jnp.sum(Vs) + jnp.sum(Yws[0, 0]) + jnp.sum(slab_t)
         qt_slab = (
             _apply_cols_split(
                 Yws, Ts, meta, slab_t, h1, True, nuni, p2s, p2g
