@@ -225,6 +225,50 @@ class BlockAngularQR(QRSolver):
         self._m2 = mat.right_cols
         self._n1 = mat.left_rows
 
+        self._r12_coo = None
+        self._fused_dense = False
+        if isinstance(self.right, _RowSubsetQR):  # recompute: unwrap
+            self.right = self.right.inner
+        sparse_a2 = isinstance(mat.right, SparseCSR)
+
+        # Fast path: the flagship dense-A2 stack (BlockDiagonalQR FULL_Q
+        # non-pivot left + dense right) runs compute steps 1-5 as ONE
+        # compiled program (block_angular_fused) and populates the children
+        # from the outputs — the generic composition below executes ~42
+        # eager program launches per warm recompute, each a pipelined tunnel
+        # round trip, which dwarfed the math itself.
+        if not sparse_a2 and self._uses_fused_dense(mat):
+            from .block_angular_fused import fused_dense_compute
+            from .dense import DenseColPivQR
+
+            colpiv = isinstance(self.right, DenseColPivQR)
+            a2 = _to_device_dense(mat.right)
+            blocks = jnp.asarray(mat.left.blocks)
+            (Q, R, j2_top, Y2, T2, R2, perm2, r12, h1, h2) = (
+                fused_dense_compute(
+                    blocks, a2, bc=mat.left.block_cols, colpiv=colpiv
+                )
+            )
+            self.left._adopt_factors(mat.left, Q, R, h1)
+            nbot = self._n1 - self._m1
+            if colpiv:
+                self.right._adopt_factors(
+                    nbot, self._m2, Y2, T2, R2, h2, perm_dev=perm2
+                )
+            else:
+                self.right._adopt_factors(nbot, self._m2, Y2, T2, R2, h2)
+            self._j2_top = j2_top
+            self._r12 = r12
+            self._fused_dense = True
+            self._fused_colpiv = colpiv
+            self._fused_perm2 = perm2
+            self._cols_perm = None
+            self._solve_gather = None
+            rp = np.arange(self._n1, dtype=np.int64)
+            self._rows_perm = Permutation(rp)
+            self._set_success()
+            return self
+
         # 1) left factorization
         self.left.compute(mat.left)
 
@@ -233,10 +277,6 @@ class BlockAngularQR(QRSolver):
         # (per-block Qᵀ preserves block-row sparsity) — the reference's sparse
         # QProduct specializations (BandedBlockedSparseQR.h:693, 722) play the
         # same role.  Other combinations densify as before.
-        self._r12_coo = None
-        if isinstance(self.right, _RowSubsetQR):  # recompute: unwrap
-            self.right = self.right.inner
-        sparse_a2 = isinstance(mat.right, SparseCSR)
         if sparse_a2 and self._left_supports_sparse_a2():
             j2_bot = self._solve_right_block_sparse(mat.right)
         elif sparse_a2 and self._left_supports_chunked_sparse_a2():
@@ -303,6 +343,29 @@ class BlockAngularQR(QRSolver):
         (:class:`DenseColPivQR` defers the host fetch); None otherwise."""
         r = self.right.inner if isinstance(self.right, _RowSubsetQR) else self.right
         return getattr(r, "_perm_dev", None)
+
+    def _uses_fused_dense(self, mat: BlockMatrix1x2) -> bool:
+        """Gate for the one-dispatch fused dense-A2 program: the flagship
+        reference stack (BlockDiagonalSparseQR left + dense QR right,
+        BlockAngularSparseQR.h:434-514) with portrait blocks, no zero-column
+        tail, no mesh, and enough bottom rows for the right QR."""
+        from ..containers import BlockDiagonal
+        from .block_diagonal import BlockDiagonalQR, QFormat
+        from .dense import DenseColPivQR, DenseHouseholderQR
+
+        lm = mat.left
+        return (
+            type(self.left) is BlockDiagonalQR
+            and isinstance(lm, BlockDiagonal)
+            and not self.left.pivot
+            and self.left.q_format == QFormat.FULL_Q
+            and self.mesh is None
+            and getattr(self.left, "mesh", None) is None
+            and type(self.right) in (DenseColPivQR, DenseHouseholderQR)
+            and lm.block_rows >= lm.block_cols
+            and lm.ncols == lm.num_blocks * lm.block_cols
+            and (lm.nrows - lm.ncols) >= mat.right_cols
+        )
 
     def _left_supports_sparse_a2(self) -> bool:
         from .block_diagonal import BlockDiagonalQR, QFormat
@@ -631,7 +694,17 @@ class BlockAngularQR(QRSolver):
         DEVICE gather: the base implementation materializes the composed
         ``cols_permutation()`` on host, which blocks on the right solver's
         device pivot order — one tunnel round trip per solve after every warm
-        recompute (the LM pattern)."""
+        recompute (the LM pattern).  On the fused dense-A2 stack the whole
+        solve runs as ONE compiled program (the generic composition below is
+        ~87 eager program launches)."""
+        if b.ndim == 1 and getattr(self, "_fused_dense", False):
+            from .block_angular_fused import fused_dense_solve
+
+            return fused_dense_solve(
+                self.left.Q, self.left.R, self.right._Y, self.right._T,
+                self.right._R, self._fused_perm2, self._r12, b,
+                bc=self.left._bc, colpiv=self._fused_colpiv,
+            )
         if b.ndim == 2:
             y = self.apply_qt(b)
             z = jax.vmap(self.solve_r, in_axes=1, out_axes=1)(y[: self.cols])

@@ -152,6 +152,23 @@ class BlockDiagonalQR(QRSolver):
         self._set_success()
         return self
 
+    def _adopt_factors(self, mat: BlockDiagonal, Q, R, health) -> None:
+        """Populate state from factors computed by an enclosing fused program
+        (BlockAngularQR's dense-A2 fast path) — identical post-conditions to
+        :meth:`compute` for the non-pivoting portrait no-mesh case."""
+        assert not self.pivot and self.mesh is None
+        self._landscape = mat.block_cols > mat.block_rows
+        self._nrows, self._ncols = mat.nrows, mat.ncols
+        self._nb = mat.num_blocks
+        self._br, self._bc = mat.block_rows, mat.block_cols
+        self._tail = mat.nrows - self._nb * self._br
+        self._row_perm = Permutation.identity(mat.nrows)
+        self.Q, self.R = Q, R
+        self._local_perm_dev = None
+        self._cols_perm = Permutation.identity(self._ncols)
+        self._computed = True
+        self._set_success(health)
+
     def r_diagonal(self) -> jnp.ndarray:
         """Pivot diagonal of R straight from the [nb, k, bc] batch — no dense
         R.  Portrait: [ncols] (columns past nb*bc — the zero tail — report 0:

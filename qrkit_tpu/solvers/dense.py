@@ -105,6 +105,14 @@ class _DenseQRBase(QRSolver):
             return jnp.asarray(mat.to_dense())
         return jnp.asarray(mat)
 
+    def _adopt_factors(self, m, n, Y, T, R, health) -> None:
+        """Populate state from factors computed by an enclosing fused program
+        (BlockAngularQR's dense-A2 fast path) — identical post-conditions to
+        :meth:`compute`."""
+        self._m, self._n = int(m), int(n)
+        self._Y, self._T, self._R = Y, T, R
+        self._set_success(health)
+
 
 class DenseHouseholderQR(_DenseQRBase):
     """Blocked dense Householder QR (Eigen::HouseholderQR analog)."""
@@ -139,6 +147,11 @@ class DenseColPivQR(_DenseQRBase):
         if self._perm is None:
             self._perm = Permutation(np.asarray(self._perm_dev, dtype=np.int64))
         return self._perm
+
+    def _adopt_factors(self, m, n, Y, T, R, health, perm_dev=None) -> None:
+        super()._adopt_factors(m, n, Y, T, R, health)
+        self._perm_dev = perm_dev
+        self._perm = None
 
     def solve_r(self, y: jnp.ndarray) -> jnp.ndarray:
         """Rank-aware basic solution: column pivoting clusters dead pivots at

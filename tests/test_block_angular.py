@@ -250,3 +250,51 @@ def test_blockdiag_sparse_a2_plan_cache_reuse(rng):
     x_true = rng.normal(size=dense.shape[1])
     x = np.asarray(qr.solve(jnp.asarray(dense @ x_true)))
     assert np.allclose(x, x_true, atol=1e-8)
+
+
+@pytest.mark.parametrize(
+    "right_cls,tail", [(DenseColPivQR, 0), (DenseColPivQR, 7), ("house", 3)]
+)
+def test_block_angular_fused_dense_matches_generic(rng, right_cls, tail):
+    """The one-dispatch fused dense-A2 program (block_angular_fused) is
+    behavior-identical to the generic composition: same solution, same R,
+    same composed column permutation — including identity-Q pass-through
+    tail rows and both right solvers."""
+    from qrkit_tpu.solvers import DenseHouseholderQR
+    from qrkit_tpu.solvers.block_diagonal import QFormat
+
+    if right_cls == "house":
+        right_cls = DenseHouseholderQR
+    N, br, bc, m2 = 80, 3, 2, 5
+    nrows = N * br + tail
+    blocks = jnp.asarray(rng.normal(size=(N, br, bc)))
+    a2 = jnp.asarray(rng.normal(size=(nrows, m2)))
+    b = jnp.asarray(rng.normal(size=nrows))
+    blk = BlockDiagonal(blocks, nrows, N * bc)
+
+    qf = BlockAngularQR(BlockDiagonalQR(QFormat.FULL_Q, pivot=False), right_cls())
+    qf.compute(BlockMatrix1x2(blk, a2))
+    assert qf._fused_dense
+
+    qg = BlockAngularQR(BlockDiagonalQR(QFormat.FULL_Q, pivot=False), right_cls())
+    qg._uses_fused_dense = lambda mat: False  # force the generic path
+    qg.compute(BlockMatrix1x2(blk, a2))
+    assert not qg._fused_dense
+
+    assert str(qf.info()) == "ComputationInfo.SUCCESS"
+    np.testing.assert_allclose(
+        np.asarray(qf.solve(b)), np.asarray(qg.solve(b)), atol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(qf.matrix_r_dense()),
+        np.asarray(qg.matrix_r_dense()),
+        atol=1e-10,
+    )
+    assert np.array_equal(
+        qf.cols_permutation().indices, qg.cols_permutation().indices
+    )
+    # matrix RHS falls back to the generic composition on the same state
+    B = jnp.asarray(np.asarray(rng.normal(size=(nrows, 3))))
+    np.testing.assert_allclose(
+        np.asarray(qf.solve(B)), np.asarray(qg.solve(B)), atol=1e-10
+    )

@@ -152,3 +152,28 @@ def test_counter_nests_and_restores(rng):
     assert outer.count == 3
     assert pxla.ExecuteReplicated.__call__ is before_call
     assert pj._get_fastpath_data is before_fp
+
+
+def test_block_angular_fused_dense_dispatch_budget(rng):
+    """The flagship dense-A2 stack (BlockDiagonalQR FULL_Q non-pivot left +
+    DenseColPivQR right): warm recompute runs the ONE fused program plus the
+    composite health combine; a vector solve is exactly ONE program."""
+    from qrkit_tpu.containers import BlockDiagonal
+    from qrkit_tpu.solvers import BlockDiagonalQR
+    from qrkit_tpu.solvers.block_diagonal import QFormat
+
+    N, br, bc, m2 = 64, 2, 1, 5
+    blocks = jnp.asarray(rng.normal(size=(N, br, bc)))
+    a2 = jnp.asarray(rng.normal(size=(N * br, m2)))
+    b = jnp.asarray(rng.normal(size=N * br))
+    blk = BlockDiagonal(blocks, N * br, N * bc)
+    qr = BlockAngularQR(BlockDiagonalQR(QFormat.FULL_Q, pivot=False), DenseColPivQR())
+    qr.compute(BlockMatrix1x2(blk, a2))
+    assert qr._fused_dense
+    with count_dispatches() as d:
+        qr.compute(BlockMatrix1x2(blk, a2))
+    assert d.count <= 2, f"fused dense recompute dispatched {d.count}"
+    qr.solve(b)
+    with count_dispatches() as d:
+        qr.solve(b)
+    assert d.count <= 1, f"fused dense solve dispatched {d.count}"
