@@ -42,6 +42,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = [
     "pallas_segment_chains_soa",
+    "pallas_segment_apply_w",
     "pallas_chain_qr",
     "seg_pad",
     "SEG_STEP",
@@ -142,6 +143,181 @@ def _chain_kernel(ma: int, mc: int, mca: int, me: int, ci: int, ci0_rest: int):
                 carry[r * mc + c] = jnp.where(act, new, cold[r][c])
 
     return kernel
+
+
+def _apply_w_kernel(ma: int, mc: int, mca: int, kg: int, h: int, wrows: int):
+    """Kernel body for the batched chain Qᵀ-apply (one (segment-tile, l) grid
+    step): step ``l``'s phase-1 reflectors applied to ``ko`` operand columns,
+    with the live work-vector region held POSITION-INDEXED in VMEM scratch
+    ``W`` across the sequential ``l`` steps — the Pallas twin of the phase-2
+    gap-mode streaming window apply
+    (``solvers/segmented_apply._segment_apply_cols_stream_gap``).
+
+    Position algebra (host-verified per segment by
+    ``solvers/segmented_plan._p2w_sim_segment`` — any geometry the model
+    can't represent falls back to the XLA apply): window row ``r`` of step
+    ``l`` lives at work-vector position ``a_l + r`` (``r < mca``) or
+    ``b_l + (r - mca)`` (``r >= mca``).  ``W``'s row index IS the position
+    for positions ``< h`` (the region any head window reaches); rows at
+    positions ``>= h`` never touch ``W`` — their slice lands in the
+    never-written pad ``[h, wrows)`` (reads 0, writes predicated off) and
+    their pristine value rides in via ``w_ref``.  ``W`` starts zero, so a
+    position's FIRST toucher reads 0 from ``W`` plus its pristine operand
+    value from ``w_ref`` (host gather puts it there exactly once); later
+    touchers read the carried value from ``W`` (``w_ref`` holds 0).  Every
+    step emits ALL ``ma`` post-transform rows; the host's last-writer map
+    composes the final work vector from emissions alone.  Reflectors apply
+    one-by-one (``w -= v·(tau·(vᵀw))``), compact-WY up to fp reassociation;
+    inactive padded steps have ``tau = 0`` (phase-1 zeroes them) and are
+    exact pass-throughs.  Qᵀ (forward) order only.
+
+    Operand columns are processed ``kg`` at a time (a third grid dimension
+    walks the ``ko/kg`` column groups) so W and the streamed operand blocks
+    fit VMEM at any ``h``; each group is an independent pass over the chain
+    (W resets at ``l == 0``), re-streaming Y once per group.
+
+    Refs:
+      ab_ref  [1, 2] SMEM            (a_l, b_l) window starts for step l
+      y_ref   [1, ma*mc, 8, 128]     unit-diagonal Y of the step (phase-1 out)
+      tau_ref [1, mc, 8, 128]        reflector taus
+      w_ref   [1, 1, ma*kg, 8, 128]  first-touch pristine operand rows
+      wq_ref  [1, 1, ma*kg, 8, 128]  post-transform window rows out
+      W       [wrows*kg, 8, 128]     VMEM scratch, persists across l steps
+    """
+
+    def kernel(ab_ref, y_ref, tau_ref, w_ref, wq_ref, W):
+        l = pl.program_id(2)
+
+        @pl.when(l == 0)
+        def _reset():
+            W[...] = jnp.zeros(W.shape, W.dtype)
+
+        a = ab_ref[0, 0]
+        b = ab_ref[0, 1]
+        ac = jnp.minimum(a, h) * kg
+        bc = jnp.minimum(b, h) * kg
+        nt = ma - mca
+        hd = W[pl.ds(ac, mca * kg), :, :]
+        tl = W[pl.ds(bc, nt * kg), :, :]
+        w = [
+            [
+                (hd[r * kg + c] if r < mca else tl[(r - mca) * kg + c])
+                + w_ref[0, 0, r * kg + c]
+                for c in range(kg)
+            ]
+            for r in range(ma)
+        ]
+        zero = jnp.zeros_like(w[0][0])
+        for j in range(mc):
+            tau = tau_ref[0, j]
+            v = [y_ref[0, r * mc + j] for r in range(ma)]
+            for c in range(kg):
+                s = zero
+                for r in range(j, ma):
+                    s = s + v[r] * w[r][c]
+                s = tau * s
+                for r in range(j, ma):
+                    w[r][c] = w[r][c] - v[r] * s
+        for r in range(ma):
+            for c in range(kg):
+                wq_ref[0, 0, r * kg + c] = w[r][c]
+        # position-predicated write-back (UNCLAMPED positions: rows at >= h
+        # keep the pad's old value — 0 — so the pad stays never-written)
+        hd_new = jnp.stack(
+            [
+                jnp.where(a + r < h, w[r][c], hd[r * kg + c])
+                for r in range(mca)
+                for c in range(kg)
+            ]
+        )
+        W[pl.ds(ac, mca * kg), :, :] = hd_new
+        tl_new = jnp.stack(
+            [
+                jnp.where(b + (r - mca) < h, w[r][c], tl[(r - mca) * kg + c])
+                for r in range(mca, ma)
+                for c in range(kg)
+            ]
+        )
+        W[pl.ds(bc, nt * kg), :, :] = tl_new
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ma", "mc", "mca", "ko", "kg", "h", "wrows", "interpret"),
+)
+def pallas_segment_apply_w(
+    y_soa: jnp.ndarray,  # [L, ma*mc, npad] phase-1 Y factors, SoA
+    tau_soa: jnp.ndarray,  # [L, mc, npad]
+    w_soa: jnp.ndarray,  # [L, ko//kg, ma*kg, npad] first-touch pristine rows
+    ab: jnp.ndarray,  # [L, 2] int32 per-step window starts (a_l, b_l)
+    *,
+    ma: int,
+    mc: int,
+    mca: int,
+    ko: int,
+    kg: int,
+    h: int,
+    wrows: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Chain Qᵀ applied to ``ko`` operand columns of S independent segment
+    chains, ONE kernel launch.  Returns ``wq_soa [L, ko//kg, ma*kg, npad]``
+    — every step's post-transform window rows; the caller composes the
+    final work vector with its host-built last-writer map
+    (``solvers/segmented_plan.prepare_p2w``).  Replaces the per-step XLA
+    window apply, whose ~0.2 ms/step dispatch latency dominated the
+    segmented refactorize (p2slab: 6.9 of 9.9 ms at config 3 —
+    BANDED_PERF.md); here each chain step is one grid index with the live
+    region position-indexed in VMEM (see :func:`_apply_w_kernel`).
+    Operand columns run ``kg`` per grid pass (``kg | ko``, picked by the
+    plan gate so W fits VMEM)."""
+    L, e, npad = y_soa.shape
+    ncg = ko // kg
+    if ncg * kg != ko:
+        raise ValueError(f"kg {kg} does not divide ko {ko}")
+    if e != ma * mc:
+        raise ValueError(f"factor entry axis {e} != ma*mc = {ma * mc}")
+    if w_soa.shape != (L, ncg, ma * kg, npad):
+        raise ValueError(
+            f"operand shape {w_soa.shape} != {(L, ncg, ma * kg, npad)}"
+        )
+    if ab.shape != (L, 2):
+        raise ValueError(f"ab shape {ab.shape} != {(L, 2)}")
+    if npad % SEG_STEP:
+        raise ValueError(f"segment axis {npad} not a multiple of {SEG_STEP}")
+    if wrows < h + max(ma - mca, mca):
+        raise ValueError(f"wrows {wrows} < h + max(ma-mca, mca)")
+    dt = y_soa.dtype
+    nt = npad // _LANE
+    y4 = y_soa.reshape(L, e, nt, _LANE)
+    t4 = tau_soa.reshape(L, mc, nt, _LANE)
+    w5 = w_soa.reshape(L, ncg, ma * kg, nt, _LANE)
+    grid = (npad // SEG_STEP, ncg, L)
+    spec = lambda k: pl.BlockSpec(
+        (1, k, _SUB, _LANE),
+        lambda i, c, l: (l, 0, i, 0),
+        memory_space=pltpu.VMEM,
+    )
+    wspec = pl.BlockSpec(
+        (1, 1, ma * kg, _SUB, _LANE),
+        lambda i, c, l: (l, c, 0, i, 0),
+        memory_space=pltpu.VMEM,
+    )
+    abspec = pl.BlockSpec(
+        (1, 2), lambda i, c, l: (l, 0), memory_space=pltpu.SMEM
+    )
+    wq5 = pl.pallas_call(
+        _apply_w_kernel(ma, mc, mca, kg, h, wrows),
+        out_shape=jax.ShapeDtypeStruct((L, ncg, ma * kg, nt, _LANE), dt),
+        grid=grid,
+        in_specs=[abspec, spec(ma * mc), spec(mc), wspec],
+        out_specs=wspec,
+        scratch_shapes=[pltpu.VMEM((wrows * kg, _SUB, _LANE), dt)],
+        interpret=interpret,
+    )(ab.astype(jnp.int32), y4, t4, w5)
+    return wq5.reshape(L, ncg, ma * kg, npad)
 
 
 def _seq_chain_kernel(

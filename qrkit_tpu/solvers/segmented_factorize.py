@@ -77,6 +77,11 @@ def build_factorize_fn(self, pallas_on: bool = False):
         self._fac_meta["slab_gmap_t"] = self._slab_gmap_t
     if pallas_on:
         self._fac_meta["act_soa"] = self._act_soa
+    p2w = getattr(self, "_p2w", None) if pallas_on else None
+    if p2w is not None:
+        self._fac_meta["p2w_rowmap"] = p2w["rowmap"]
+        self._fac_meta["p2w_src"] = p2w["src"]
+        self._fac_meta["p2w_ab"] = p2w["ab"]
     grouped = self._chain_regroup is not None
     chain_pl = self._chain_pallas if pallas_on else None
     if chain_pl is not None:
@@ -159,7 +164,7 @@ def build_factorize_fn(self, pallas_on: bool = False):
             C0, shifted, meta["colinc_d"], meta["active_d"],
             max_carry=kw["max_carry"], max_emit=kw["max_emit"],
         )
-        return Yws, Ts, Vs
+        return Yws, Ts, Vs, None
 
     if pallas_on:
         from ..ops.householder import build_t_factor
@@ -193,10 +198,82 @@ def build_factorize_fn(self, pallas_on: bool = False):
                 S, L, me, max_cols
             )
             Ts = jax.vmap(jax.vmap(build_t_factor))(Yws, taus)
-            return Yws, Ts, Vs
+            return Yws, Ts, Vs, (y_soa, tau_soa)
 
     else:
         _phase1 = _phase1_xla
+
+    if p2w is not None:
+        from .segmented_apply import _segment_apply_cols_stream
+        from ..ops.pallas_banded import pallas_segment_apply_w
+
+        p2w_st = p2w["statics"]
+        excl_static = p2w["excl_static"]
+        npad_w = self._pallas_npad
+        ko_w = p2w_st["ko"]
+        ma_w = p2w_st["ma"]
+        Rr = int(self._max_seg_rows)
+
+        def _fused_slab(soa, slab_t, Yws, Ts, meta):
+            """qt_slab via the fused Pallas chain apply: gather each step's
+            first-touch pristine slab rows (host-built provenance maps,
+            segmented_plan.prepare_p2w), run the reflector chains with the
+            live region position-indexed in VMEM, compose the result from
+            the last-writer emissions.  Replaces the per-step XLA window
+            apply (`p2slab`, 6.9 of the 9.9 ms config-3 refactorize —
+            BANDED_PERF.md); excluded segments keep the XLA stream."""
+            y_soa, tau_soa = soa
+            dt = slab_t.dtype
+            slab_p = jnp.concatenate(
+                [slab_t, jnp.zeros((S, ko_w, 1), dt)], axis=2
+            )
+            slf = jnp.moveaxis(slab_p, 0, -1).reshape(ko_w * (Rr + 1), S)
+            g = meta["p2w_rowmap"]  # [L, ma, S], sentinel Rr -> zero
+            gm = (
+                g[:, :, None, :]
+                + (jnp.arange(ko_w, dtype=g.dtype) * (Rr + 1))[
+                    None, None, :, None
+                ]
+            )  # [L, ma, ko, S]
+            kg_w = p2w_st["kg"]
+            ncg = ko_w // kg_w
+            gm = jnp.transpose(
+                gm.reshape(L, ma_w, ncg, kg_w, S), (0, 2, 1, 3, 4)
+            )  # [L, ncg, ma, kg, S]
+            w = jnp.take_along_axis(slf, gm.reshape(-1, S), axis=0)
+            w_soa = jnp.pad(
+                w.reshape(L, ncg, ma_w * kg_w, S),
+                ((0, 0), (0, 0), (0, 0), (0, npad_w - S)),
+            )
+            wq = pallas_segment_apply_w(
+                y_soa, tau_soa, w_soa, meta["p2w_ab"],
+                ma=ma_w, mc=p2w_st["mc"], mca=p2w_st["mca"], ko=ko_w,
+                kg=kg_w, h=p2w_st["h"], wrows=p2w_st["wrows"],
+                interpret=interp,
+            )  # [L, ncg, ma*kg, npad]
+            er = jnp.transpose(
+                wq[:, :, :, :S].reshape(L, ncg, ma_w, kg_w, S),
+                (0, 2, 1, 3, 4),
+            ).reshape(L * ma_w, ko_w, S)
+            er = jnp.concatenate([er, jnp.zeros((1, ko_w, S), dt)], axis=0)
+            srcm = meta["p2w_src"]  # [Rr, S], sentinel L*ma -> pristine
+            gathered = jnp.take_along_axis(
+                er, jnp.broadcast_to(srcm[:, None, :], (Rr, ko_w, S)), axis=0
+            )
+            qt_t = jnp.where(
+                (srcm == L * ma_w)[:, None, :],
+                jnp.transpose(slab_t, (2, 1, 0)),
+                gathered,
+            )
+            qt = jnp.transpose(qt_t, (2, 1, 0))
+            for s_x, (s1x, s2x, spx) in excl_static.items():
+                nx = len(s1x)
+                ox = _segment_apply_cols_stream(
+                    Yws[s_x : s_x + 1, :nx], Ts[s_x : s_x + 1, :nx],
+                    s1x, s2x, spx, slab_t[s_x : s_x + 1], True,
+                )
+                qt = qt.at[s_x].set(ox[0])
+            return qt
 
     rbm = self._rbot_max
     ncols_total, m1 = self.cols, self._m1
@@ -238,22 +315,25 @@ def build_factorize_fn(self, pallas_on: bool = False):
         slab_t = _extract_slab(pad, meta)  # [S, 2o, seg_rows(pad)] lane-major
         if upto == "extract":
             return jnp.sum(_extract_panels(pad, meta)) + jnp.sum(slab_t)
-        Yws, Ts, Vs = _phase1(pad, meta)
+        Yws, Ts, Vs, soa = _phase1(pad, meta)
         if upto == "phase1":
             # keep slab extraction live (jnp.sum(slab_t)) so this probe is a
             # true prefix of the pipeline — without it XLA DCEs the slab
             # gather and the "extract" cumulative reads HIGHER than "phase1"
             return jnp.sum(Vs) + jnp.sum(Yws[0, 0]) + jnp.sum(slab_t)
-        qt_slab = (
-            _apply_cols_split(
+        if p2w is not None:
+            qt_slab = _fused_slab(soa, slab_t, Yws, Ts, meta)
+        elif p2u:
+            qt_slab = _apply_cols_split(
                 Yws, Ts, meta, slab_t, h1, True, nuni, p2s, p2g
             )
-            if p2u
-            else _segment_apply_cols(
+        else:
+            qt_slab = _segment_apply_cols(
                 Yws, Ts, meta["starts"], meta["rows2d"], meta["carry2d"],
                 slab_t, h1, True,
             )
-        )
+        if upto == "qtslab":
+            return qt_slab
         # stored LANE-MAJOR [S, 2o, nloc]: the AoS [S, nloc, 2o] form is
         # 128/(2o)-fold lane-padded (61 MB effective at 20k blocks), and
         # qt_slab is already lane-major so no transpose is needed at all
@@ -283,6 +363,8 @@ def build_factorize_fn(self, pallas_on: bool = False):
         # chain block 0 has no leading boundary: its local columns are the
         # trailing slab columns (the wrapped leading part is zero)
         bot = bot.at[0].set(jnp.roll(bot[0], -o, axis=0))
+        if upto == "botarr":
+            return bot
         if upto == "p2slab":
             return jnp.sum(qt_slab) + jnp.sum(bot)
         bot_soa = jnp.transpose(bot, (2, 1, 0))  # [rbot, 2o, S]

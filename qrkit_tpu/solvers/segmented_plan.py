@@ -393,6 +393,7 @@ def prepare_segmentation(self):
     self._rest_pos = _imap(rp)
     self._prepare_pallas_gate()
     self._prepare_p2_gate()
+    prepare_p2w(self)
 
 def prepare_p2_gate(self):
     """Gate + scalars for the shared-window phase-2 batch apply
@@ -545,6 +546,178 @@ def prepare_pallas_gate(self):
         act_soa = np.zeros((L, 1, npad), np.float32)
         act_soa[:, 0, :S] = act.T
         self._act_soa = jnp.asarray(act_soa)
+
+
+def _p2w_sim_segment(s1, s2, sp, nact, a_arr, b_arr, A, mca, h, R, L):
+    """Provenance simulation of the phase-2 window apply for ONE segment
+    against the position-indexed Pallas kernel model
+    (:func:`~qrkit_tpu.ops.pallas_banded.pallas_segment_apply_w`).
+
+    Replays the exact position algebra of ``_segment_apply_cols`` (head read
+    ``[s1_l, s1_l+sp_l)``, tail read ``[s2_l, s2_l+A-sp_l)``, full write-back)
+    while tracking, per work-vector position, WHICH value lives there (a
+    pristine operand lane, or post-transform window row ``(l, r)``), and in
+    parallel the kernel's W-buffer state under the SHARED normalized window
+    starts ``(a_l, b_l)``.  Verifies that at every step each kernel row reads
+    exactly the value the true algebra reads: carried values must sit in W at
+    the kernel's index, first-touch pristine reads must see a still-zero W
+    slot (the pristine value rides in via the gather input), rows at
+    positions ``>= h`` must slice into W's never-written region.  Windows
+    are checked by VALUE PROVENANCE, not geometry — the gate round 3's
+    reverted "emit final rows" rewrite lacked (CLAUDE.md); any divergence
+    returns ``None`` and the caller keeps the XLA window apply for this
+    segment.
+
+    Returns ``(rowmap [L, A] int32, src [R] int32)``: ``rowmap[l, r]`` is
+    the position whose PRISTINE value feeds window row ``r`` of step ``l``
+    (sentinel ``R`` → zero), and ``src[p]`` is the flat ``l*A + r`` emission
+    finalizing position ``p`` (sentinel ``L*A`` → pristine — every write
+    also emits, so the last writer's emission IS the final value).
+    Reference semantics: SparseBlockYTY.h:101-139, SparseQRUtils.h:44-89.
+    """
+    PAD = R + mca + A + 8  # the apply's work buffer pads R by h1 + A zeros
+    P = np.full(PAD, -1, np.int64)  # -1 = pristine, else writer l*A + r
+    KW = np.full(h, -1, np.int64)  # kernel W provenance; -1 = zero
+    rowmap = np.full((L, A), R, np.int32)
+    arr = np.arange(A)
+    for l in range(nact):
+        s1l, s2l, spl = int(s1[l]), int(s2[l]), int(sp[l])
+        al, bl = int(a_arr[l]), int(b_arr[l])
+        if spl > mca:
+            return None
+        p = np.where(arr < spl, s1l + arr, s2l + arr - spl)
+        if np.unique(p).size != A or p.max() >= PAD or p.min() < 0:
+            return None
+        i = np.where(arr < mca, min(al, h) + arr, min(bl, h) + arr - mca)
+        wpos = np.where(arr < mca, al + arr, bl + arr - mca)
+        wi = i[wpos < h]
+        if np.unique(wi).size != wi.size:  # write-order would matter
+            return None
+        for r in range(A):
+            tag = P[p[r]]
+            if tag == -1:  # pristine: kernel W slot must still be zero
+                if i[r] < h and KW[i[r]] != -1:
+                    return None
+                if p[r] < R:
+                    rowmap[l, r] = p[r]
+                # p >= R: operand pad, value zero — sentinel already set
+            else:  # carried: W must hold exactly this value
+                if i[r] >= h or KW[i[r]] != tag:
+                    return None
+        # writes AFTER all reads, in both models
+        P[p] = l * A + arr
+        below = wpos < h
+        KW[i[below]] = l * A + arr[below]
+    src = np.full(R, L * A, np.int32)
+    fin = P[:R] >= 0
+    src[fin] = P[:R][fin].astype(np.int32)
+    return rowmap, src
+
+
+def prepare_p2w(self):
+    """Gate + maps for the fused Pallas phase-2 slab apply
+    (:func:`~qrkit_tpu.ops.pallas_banded.pallas_segment_apply_w`).
+
+    Derives the shared normalized window starts from the uniform run's
+    scalars, runs the provenance simulation per segment (cached by scalar
+    key — the uniform run shares one sim), and assembles the device maps:
+    the first-touch pristine gather ``[L, A, S]`` and the last-writer
+    emission scatter ``[R, S]``.  Segments failing the simulation are
+    EXCLUDED — they keep the XLA streaming apply (their lanes ride through
+    the kernel as dead weight) — provided each has static stream scalars;
+    the whole path is disabled (``self._p2w = None``) when the uniform run
+    itself fails or the W buffer would not fit VMEM."""
+    self._p2w = None
+    if not (
+        getattr(self, "_pallas_gate", False)
+        and getattr(self, "_p2_uniform", False)
+        and getattr(self, "_p2_static", None) is not None
+    ):
+        return
+    s1u, s2u, spu = self._p2_static[0], self._p2_static[1], self._p2_static[2]
+    S, L = self.S, self.L
+    kw = self._kw
+    A, mca, mc = kw["max_active"], kw["max_carry"], kw["max_cols"]
+    R = int(self._max_seg_rows)
+    ko = 2 * self._overlap
+    if any(sp > mca for sp in spu) or mca >= A:
+        return
+    # W must hold exactly the MULTIPLY-TOUCHED positions: every toucher of a
+    # position writes it, so a position read by a later step needs its value
+    # carried in W, while singly-touched positions flow straight through the
+    # emission stream.  h = top of that region (gap-mode chains: the small
+    # head region, config-3: 124 of 1280; mono chains: ~the whole segment —
+    # the VMEM check below then decides honestly whether W fits).
+    top = max(s2 + A - sp for s2, sp in zip(s2u, spu)) + 1
+    cover = np.zeros(top, np.int64)
+    for s1, s2, sp in zip(s1u, s2u, spu):
+        cover[s1 : s1 + sp] += 1
+        cover[s2 : s2 + A - sp] += 1
+    multi = np.nonzero(cover >= 2)[0]
+    h = int(multi.max()) + 1 if multi.size else 0
+    wrows = h + max(A - mca, mca)
+    # W scratch + double-buffered in/out tiles + ~ma*kg live transform
+    # temporaries must fit VMEM (~16 MB/core); one (8, 128) fp32 tile per
+    # kernel-visible scalar.  kg = largest divisor of ko that fits — the
+    # kernel walks the operand columns kg at a time, re-streaming Y per
+    # group (cheap next to the 0.2 ms/step XLA dispatch it replaces).
+    kg = None
+    for cand in sorted(
+        (d for d in range(1, ko + 1) if ko % d == 0), reverse=True
+    ):
+        tiles = wrows * cand + 2 * (A * mc + mc + 2 * A * cand) + A * cand
+        if tiles * 8 * 128 * 4 <= 12 * 2**20:
+            kg = cand
+            break
+    if kg is None:
+        return
+    # normalized starts: rows [0, mca) at a_l + r, rows [mca, A) at
+    # b_l + (r - mca); rows the normalization can't place must sit at
+    # positions >= h (the sim verifies value-by-value)
+    a_arr = np.asarray(
+        [s1 if sp > 0 else s2 for s1, s2, sp in zip(s1u, s2u, spu)], np.int64
+    )
+    b_arr = np.asarray(
+        [s2 + (mca - sp) for s2, sp in zip(s2u, spu)], np.int64
+    )
+    lg, act = self._loc_geom, self._active
+    rowmaps = np.full((S, L, A), R, np.int32)
+    srcs = np.full((S, R), L * A, np.int32)
+    excluded = []
+    cache = {}
+    for s in range(S):
+        n = int(act[s].sum())
+        key = (
+            tuple(lg["cols"][s][:n]), tuple(lg["rows"][s][:n]),
+            tuple(lg["carry_rows"][s][:n]),
+        )
+        if key not in cache:
+            cache[key] = _p2w_sim_segment(
+                key[0], key[1], key[2], n, a_arr, b_arr, A, mca, h, R, L
+            )
+        out = cache[key]
+        if out is None:
+            excluded.append(s)
+        else:
+            rowmaps[s], srcs[s] = out
+    uni = range(1, 1 + self._p2_nuni)
+    if any(s in excluded for s in uni):
+        return  # the bulk must pass or the kernel isn't worth a launch
+    if excluded:
+        gen = [0] + list(range(1 + self._p2_nuni, S))
+        p2g = self._p2_gen_static
+        if p2g is None or any(s not in gen for s in excluded):
+            return
+        excl_static = {s: p2g[gen.index(s)] for s in excluded}
+    else:
+        excl_static = {}
+    self._p2w = dict(
+        rowmap=_imap(np.ascontiguousarray(rowmaps.transpose(1, 2, 0))),
+        src=_imap(np.ascontiguousarray(srcs.T)),
+        ab=_imap(np.stack([a_arr, b_arr], axis=1)),
+        statics=dict(ma=A, mc=mc, mca=mca, ko=ko, kg=kg, h=h, wrows=wrows),
+        excl_static=excl_static,
+    )
 
 
 def detect_panel_fast(self, gm: np.ndarray, nnz: int):

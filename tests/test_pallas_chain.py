@@ -83,9 +83,22 @@ def test_pallas_segmented_boundary_chain(rng):
     qp._pallas_interpret = True
     qp.compute(spj)
     assert qp._chain_pallas is not None, "boundary-chain kernel gate not hit"
-    for name in ("_chain_r", "_j2_top"):
-        a, b = np.asarray(getattr(qx, name)), np.asarray(getattr(qp, name))
-        assert np.allclose(a, b, atol=1e-12), (name, np.abs(a - b).max())
+    a, b = np.asarray(qx._j2_top), np.asarray(qp._j2_top)
+    assert np.allclose(a, b, atol=1e-12), np.abs(a - b).max()
+    # chain_r: compare up to row signs.  This fixture's bot slabs are exactly
+    # rank-deficient (duplicated column structure), so the CAQR's Householder
+    # branches sit on the sigma==0 boundary and fp-reassociation-level noise
+    # between the two apply paths legitimately flips reflector signs — both
+    # factorizations are valid (the solve below pins correctness).
+    a, b = np.asarray(qx._chain_r), np.asarray(qp._chain_r)
+
+    def _sign_norm(r):
+        s = np.sign(np.diagonal(r, axis1=1, axis2=2))
+        return r * np.where(s == 0, 1.0, s)[:, :, None]
+
+    assert np.allclose(_sign_norm(a), _sign_norm(b), atol=1e-12), np.abs(
+        np.abs(a) - np.abs(b)
+    ).max()
     x_true = rng.normal(size=spj.ncols)
     rhs = qp.rows_permutation().apply(spj.to_dense() @ x_true)
     x = np.asarray(qp.solve(jnp.asarray(rhs)))
