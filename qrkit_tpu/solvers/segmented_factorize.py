@@ -307,7 +307,11 @@ def build_factorize_fn(self, pallas_on: bool = False):
     # of that stage's outputs) so the per-stage latency budget can be timed
     # on hardware without duplicating the pipeline — see
     # examples/profile_segmented.py and BANDED_PERF.md.  Default "all" is the
-    # production program; call sites never pass it.
+    # production program; call sites never pass it.  The "qtslab" and
+    # "botarr" probes return FULL ARRAYS for numeric debugging — never use
+    # them in the tunnel timing harness (each fetch is a multi-MB transfer,
+    # ~31 ms+); the timing probes are the scalar ones ("extract", "phase1",
+    # "p2slab", "caqr", "chain").
     @functools.partial(jax.jit, static_argnames=("upto",))
     def fac(data, meta, upto="all"):
         dtype = data.dtype

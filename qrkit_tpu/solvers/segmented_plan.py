@@ -640,7 +640,10 @@ def prepare_p2w(self):
     A, mca, mc = kw["max_active"], kw["max_carry"], kw["max_cols"]
     R = int(self._max_seg_rows)
     ko = 2 * self._overlap
-    if any(sp > mca for sp in spu) or mca >= A:
+    # mca >= 1: the kernel stacks the mca head rows (jnp.stack over
+    # range(mca) in _apply_w_kernel) — an empty stack would raise at trace
+    # time inside the jitted factorize, so zero-carry plans keep the XLA apply
+    if any(sp > mca for sp in spu) or mca >= A or mca < 1:
         return
     # W must hold exactly the MULTIPLY-TOUCHED positions: every toucher of a
     # position writes it, so a position read by a later step needs its value

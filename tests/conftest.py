@@ -79,7 +79,11 @@ SLOW_TESTS = {
         "test_fuzz_block_angular",
         "test_fuzz_segmented",
     },
-    "test_fuzz_segmented_surfaces.py": {"test_fuzz_segmented_all_surfaces"},
+    "test_fuzz_segmented_surfaces.py": {
+        "test_fuzz_pallas_gate_coverage",
+        "test_fuzz_segmented_all_surfaces",
+    },
+    "test_dispatch_count.py": {"test_pallas_mode_dispatch_pins"},
     "test_householder.py": {
         "test_colpiv_wide_scan_variant",
         "test_panel_qr_yt_landscape_wide",
@@ -95,6 +99,7 @@ SLOW_TESTS = {
     },
     "test_pallas_banded.py": {
         "test_auto_selects_xla_on_cpu",
+        "test_fused_w_apply_matches_xla_tall_blocks",
         "test_pallas_phase1_matches_xla",
     },
     "test_pallas_chain.py": {

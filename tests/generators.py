@@ -108,3 +108,21 @@ def rowperm_a_diag_lambda(a: SparseCSR, lam: float) -> SparseCSR:
         rows, cols, vals, (n_residuals + n_params, n_params)
     )
     return stacked.permute_rows(Permutation(indices))
+
+
+def tall_banded_matrix(nb, rng, br, bc, ov):
+    """Row-sorted tall-block banded layout (block rows >> column step — the
+    gapped config-3 regime, BASELINE config 3 miniaturized; the geometry
+    where the fused Pallas W-buffer apply must engage)."""
+    step = bc - ov
+    ncols = step * nb + ov
+    i = np.arange(nb)[:, None, None]
+    r = np.arange(br)[None, :, None]
+    c = np.arange(bc)[None, None, :]
+    rows = np.broadcast_to(i * br + r, (nb, br, bc)).ravel()
+    cols = np.broadcast_to(i * step + c, (nb, br, bc)).ravel()
+    keep = cols < ncols
+    vals = rng.uniform(0.5, 5.0, size=rows.size)
+    return SparseCSR.from_triplets(
+        rows[keep], cols[keep], vals[keep], (br * nb, ncols)
+    )

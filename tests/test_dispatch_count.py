@@ -27,7 +27,11 @@ from qrkit_tpu.solvers import (
 )
 from qrkit_tpu.sparse import SparseCSR
 
-from generators import block_angular_matrix, overlapping_block_diagonal_matrix
+from generators import (
+    block_angular_matrix,
+    overlapping_block_diagonal_matrix,
+    tall_banded_matrix,
+)
 
 
 def _banded(kind):
@@ -36,6 +40,39 @@ def _banded(kind):
     return SegmentedBandedQR(
         suggested_block_cols=4, segment_blocks=8, fallback=False
     )
+
+
+@pytest.mark.parametrize("geom", ["uniform", "tallblock_p2w"])
+def test_pallas_mode_dispatch_pins(rng, geom):
+    """The production TPU configuration (use_pallas=True; interpreter on the
+    CPU mesh) holds the same O(1)-dispatch contract as the XLA mode — for
+    both the phase-1 chain kernel alone (uniform geometry) and the fused
+    phase-2 W-buffer apply path (tall-block gapped geometry, where
+    prepare_p2w must engage)."""
+    if geom == "uniform":
+        mat = overlapping_block_diagonal_matrix(96, 336, rng, permute_rows=False)
+    else:
+        mat = tall_banded_matrix(32, rng, br=10, bc=4, ov=2)
+    qr = SegmentedBandedQR(
+        suggested_block_cols=4, segment_blocks=8, fallback=False, use_pallas=True
+    )
+    qr._pallas_interpret = True
+    qr.analyze_pattern(mat)
+    if geom == "tallblock_p2w":
+        assert qr._p2w is not None, "fused W-apply gate must fire here"
+    qr.compute(mat)
+    assert qr._fac_mode is True
+    v = jnp.asarray(mat.data) * 1.000001
+    qr.factorize_values(v)  # warm
+    with count_dispatches() as d:
+        qr.factorize_values(v)
+    assert d.count <= 1, f"pallas refactorize dispatched {d.count} programs"
+    assert str(qr.info()) == "ComputationInfo.SUCCESS"
+    b = jnp.asarray(rng.normal(size=mat.nrows))
+    qr.solve(b)  # warm
+    with count_dispatches() as d:
+        qr.solve(b)
+    assert d.count <= 1, f"pallas solve dispatched {d.count} programs"
 
 
 @pytest.mark.parametrize("kind", ["banded", "segmented"])

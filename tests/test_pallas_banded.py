@@ -12,7 +12,7 @@ import pytest
 
 from qrkit_tpu.solvers import SegmentedBandedQR
 
-from generators import overlapping_block_diagonal_matrix
+from generators import overlapping_block_diagonal_matrix, tall_banded_matrix
 
 
 def _pair(rng, nv, L):
@@ -42,31 +42,12 @@ def test_pallas_phase1_matches_xla(rng, nv, L):
     assert np.allclose(x, x_true, atol=1e-7)
 
 
-def _tall_banded(nb, rng, br, bc, ov):
-    """Row-sorted tall-block banded layout (block rows >> column step — the
-    gapped config-3 regime where the fused W-buffer apply must engage)."""
-    from qrkit_tpu.sparse import SparseCSR
-
-    step = bc - ov
-    ncols = step * nb + ov
-    i = np.arange(nb)[:, None, None]
-    r = np.arange(br)[None, :, None]
-    c = np.arange(bc)[None, None, :]
-    rows = np.broadcast_to(i * br + r, (nb, br, bc)).ravel()
-    cols = np.broadcast_to(i * step + c, (nb, br, bc)).ravel()
-    keep = cols < ncols
-    vals = rng.uniform(0.5, 5.0, size=rows.size)
-    return SparseCSR.from_triplets(
-        rows[keep], cols[keep], vals[keep], (br * nb, ncols)
-    )
-
-
 def test_fused_w_apply_matches_xla_tall_blocks(rng):
     """The fused phase-2 W-buffer apply (pallas_segment_apply_w + the
     prepare_p2w provenance maps) vs the XLA streaming apply on a gapped
     tall-block miniature: factors, Qᵀ·A_B, and the full solve must agree.
     Window semantics: SparseBlockYTY.h:101-139, SparseQRUtils.h:44-89."""
-    mat = _tall_banded(64, rng, br=10, bc=4, ov=2)
+    mat = tall_banded_matrix(64, rng, br=10, bc=4, ov=2)
     qx = SegmentedBandedQR(
         suggested_block_cols=4, segment_blocks=8, use_pallas=False
     ).compute(mat)
