@@ -177,7 +177,9 @@ def _apply_w_kernel(ma: int, mc: int, mca: int, kg: int, h: int, wrows: int):
     (W resets at ``l == 0``), re-streaming Y once per group.
 
     Refs:
-      ab_ref  [1, 2] SMEM            (a_l, b_l) window starts for step l
+      ab_ref  [L, 2] SMEM            per-step (a_l, b_l) window starts (whole
+                                     array resident — Mosaic rejects a (1, 2)
+                                     SMEM block; indexed by program_id(2))
       y_ref   [1, ma*mc, 8, 128]     unit-diagonal Y of the step (phase-1 out)
       tau_ref [1, mc, 8, 128]        reflector taus
       w_ref   [1, 1, ma*kg, 8, 128]  first-touch pristine operand rows
@@ -192,8 +194,8 @@ def _apply_w_kernel(ma: int, mc: int, mca: int, kg: int, h: int, wrows: int):
         def _reset():
             W[...] = jnp.zeros(W.shape, W.dtype)
 
-        a = ab_ref[0, 0]
-        b = ab_ref[0, 1]
+        a = ab_ref[l, 0]
+        b = ab_ref[l, 1]
         ac = jnp.minimum(a, h) * kg
         bc = jnp.minimum(b, h) * kg
         nt = ma - mca
@@ -306,7 +308,7 @@ def pallas_segment_apply_w(
         memory_space=pltpu.VMEM,
     )
     abspec = pl.BlockSpec(
-        (1, 2), lambda i, c, l: (l, 0), memory_space=pltpu.SMEM
+        (L, 2), lambda i, c, l: (0, 0), memory_space=pltpu.SMEM
     )
     wq5 = pl.pallas_call(
         _apply_w_kernel(ma, mc, mca, kg, h, wrows),

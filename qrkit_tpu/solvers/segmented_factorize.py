@@ -79,7 +79,7 @@ def build_factorize_fn(self, pallas_on: bool = False):
         self._fac_meta["act_soa"] = self._act_soa
     p2w = getattr(self, "_p2w", None) if pallas_on else None
     if p2w is not None:
-        self._fac_meta["p2w_rowmap"] = p2w["rowmap"]
+        self._fac_meta["p2w_feed"] = p2w["feed"]
         self._fac_meta["p2w_src"] = p2w["src"]
         self._fac_meta["p2w_ab"] = p2w["ab"]
     grouped = self._chain_regroup is not None
@@ -215,36 +215,34 @@ def build_factorize_fn(self, pallas_on: bool = False):
         Rr = int(self._max_seg_rows)
 
         def _fused_slab(soa, slab_t, Yws, Ts, meta):
-            """qt_slab via the fused Pallas chain apply: gather each step's
-            first-touch pristine slab rows (host-built provenance maps,
-            segmented_plan.prepare_p2w), run the reflector chains with the
-            live region position-indexed in VMEM, compose the result from
-            the last-writer emissions.  Replaces the per-step XLA window
+            """qt_slab via the fused Pallas chain apply: feed each step's
+            first-touch pristine slab rows with ONE shared row gather
+            (host-built maps, segmented_plan.prepare_p2w), run the
+            reflector chains with the live region position-indexed in
+            VMEM, compose the result from the last-writer emissions with
+            a second shared row gather.  Replaces the per-step XLA window
             apply (`p2slab`, 6.9 of the 9.9 ms config-3 refactorize —
-            BANDED_PERF.md); excluded segments keep the XLA stream."""
+            BANDED_PERF.md); the shared maps replaced a per-segment
+            element-gather formulation whose feed/compose cost 10 + 6.4 ms
+            against the kernel's 0.85 ms.  Generic segments (0 and the
+            irregular tail) keep the XLA stream and overwrite their lanes."""
             y_soa, tau_soa = soa
             dt = slab_t.dtype
-            slab_p = jnp.concatenate(
-                [slab_t, jnp.zeros((S, ko_w, 1), dt)], axis=2
-            )
-            slf = jnp.moveaxis(slab_p, 0, -1).reshape(ko_w * (Rr + 1), S)
-            g = meta["p2w_rowmap"]  # [L, ma, S], sentinel Rr -> zero
-            gm = (
-                g[:, :, None, :]
-                + (jnp.arange(ko_w, dtype=g.dtype) * (Rr + 1))[
-                    None, None, :, None
-                ]
-            )  # [L, ma, ko, S]
             kg_w = p2w_st["kg"]
             ncg = ko_w // kg_w
-            gm = jnp.transpose(
-                gm.reshape(L, ma_w, ncg, kg_w, S), (0, 2, 1, 3, 4)
-            )  # [L, ncg, ma, kg, S]
-            w = jnp.take_along_axis(slf, gm.reshape(-1, S), axis=0)
-            w_soa = jnp.pad(
-                w.reshape(L, ncg, ma_w * kg_w, S),
-                ((0, 0), (0, 0), (0, 0), (0, npad_w - S)),
+            padr = p2w_st["padr"]
+            slab_T = jnp.transpose(slab_t, (2, 1, 0))  # [Rr, ko, S]
+            slab_pad = jnp.concatenate(
+                [slab_T, jnp.zeros((padr - Rr, ko_w, S), dt)], axis=0
             )
+            # feed: [L, A] shared slab-row indices (sentinel -> zero pad row)
+            fed = jnp.take(
+                slab_pad, meta["p2w_feed"].reshape(-1), axis=0
+            )  # [L*A, ko, S]
+            w = jnp.transpose(
+                fed.reshape(L, ma_w, ncg, kg_w, S), (0, 2, 1, 3, 4)
+            ).reshape(L, ncg, ma_w * kg_w, S)
+            w_soa = jnp.pad(w, ((0, 0), (0, 0), (0, 0), (0, npad_w - S)))
             wq = pallas_segment_apply_w(
                 y_soa, tau_soa, w_soa, meta["p2w_ab"],
                 ma=ma_w, mc=p2w_st["mc"], mca=p2w_st["mca"], ko=ko_w,
@@ -256,14 +254,10 @@ def build_factorize_fn(self, pallas_on: bool = False):
                 (0, 2, 1, 3, 4),
             ).reshape(L * ma_w, ko_w, S)
             er = jnp.concatenate([er, jnp.zeros((1, ko_w, S), dt)], axis=0)
-            srcm = meta["p2w_src"]  # [Rr, S], sentinel L*ma -> pristine
-            gathered = jnp.take_along_axis(
-                er, jnp.broadcast_to(srcm[:, None, :], (Rr, ko_w, S)), axis=0
-            )
+            srcm = meta["p2w_src"]  # [Rr] shared, sentinel L*ma -> pristine
+            gathered = jnp.take(er, srcm, axis=0)  # [Rr, ko, S]
             qt_t = jnp.where(
-                (srcm == L * ma_w)[:, None, :],
-                jnp.transpose(slab_t, (2, 1, 0)),
-                gathered,
+                (srcm == L * ma_w)[:, None, None], slab_T, gathered
             )
             qt = jnp.transpose(qt_t, (2, 1, 0))
             for s_x, (s1x, s2x, spx) in excl_static.items():
