@@ -141,7 +141,11 @@ def main():
         # an LM loop keeps (one contiguous 1024-block chunk of all rows per
         # grid step — the flat SoA form's n·4-byte row stride loses HBM
         # throughput past ~500k blocks; see ops/pallas_blockdiag.to_aosoa).
+        # The chunk count is padded to a multiple of 10 past 16 chunks so the
+        # measured-best cps=10 grid tier applies (round 5; <1% extra pad).
         npad = soa_pad(NB)
+        if npad > 16 * 1024:
+            npad = -(-npad // (10 * 1024)) * (10 * 1024)
         a_soa_np = np.zeros((BR * BC, npad), np.float32)
         a_soa_np[:, :NB] = blocks_np.transpose(1, 2, 0).reshape(BR * BC, NB)
         for j in range(BC):
@@ -166,18 +170,18 @@ def main():
             return x_soa[:, :NB].T.reshape(-1)
 
         def _chain_body(carry, a, b):
-            # data dependency via the kernel's SMEM rhs scale + SMEM step-norm
-            # output: every solve's rhs depends on the previous solution at
-            # ZERO extra HBM traffic, and the carry is derived from the
-            # in-kernel Σx² reduction, so no post-kernel HBM read of x either
-            # (an x[0, 0] probe cost ~0.8 µs/iter re-reading an output tile;
-            # an XLA-side full-rhs rescale cost +61% of the kernel's traffic)
-            x, sn = pallas_block_diagonal_lstsq_aosoa(
-                a, b, b_scale=carry, stepnorm=True
-            )
-            return 1.0 + 1e-12 * sn, None
+            # data dependency via the kernel's VMEM delta-tile input: every
+            # solve's rhs depends on one tile of the previous solution at
+            # ZERO extra HBM traffic beyond that tile.  Round 5: this
+            # replaced the SMEM b_scale/stepnorm carry, whose scalar staging
+            # measured ~0.9 µs of per-launch sync and serialized launches —
+            # the delta tile rides the vector dataflow, so the (carry-free)
+            # A/b streams of consecutive solves overlap: 2.9 → 1.9 µs at
+            # 10k blocks, 0.69 → 0.94 of HBM peak at 1M.
+            x = pallas_block_diagonal_lstsq_aosoa(a, b, b_delta=carry)
+            return x[0, 0:1, 0:1, :] * 1e-12, None
 
-        chain_init = jnp.float32(1.0)
+        chain_init = jnp.zeros((1, 1, 128), jnp.float32)
         bytes_moved = (BR * BC + BR + BC) * npad * 4
     except Exception as e:  # lowering/compile errors vary by backend version
         path_used = "xla"
@@ -212,7 +216,10 @@ def main():
         def body(carry, _):
             return _chain_body(carry, a, b)
 
-        final, _ = jax.lax.scan(body, init, None, length=iters)
+        # unroll=8 trims the XLA while-loop bookkeeping between launches
+        # (measured 2.13 -> 1.98 us at 10k once the delta-tile carry made
+        # the loop body launch-bound)
+        final, _ = jax.lax.scan(body, init, None, length=iters, unroll=8)
         # the final carry depends on EVERY solve in the chain; returning it
         # (rather than stacking per-iter probes) also drops the per-iteration
         # dynamic-update-slice the xs collection used to pay
@@ -224,12 +231,14 @@ def main():
     rel_resid = np.linalg.norm(resid) / np.linalg.norm(b_np)
     assert rel_resid < 1e-4, f"fp32 residual gate failed: {rel_resid}"
     if path_used == "pallas":
-        # the timed loop runs the SMEM-scaled kernel variant; at scale 1 it
+        # the timed loop runs the delta-tile kernel variant; at delta 0 it
         # must reproduce the gated solution
         xs1 = _extract_x(
-            pallas_block_diagonal_lstsq_aosoa(op_a, op_b, b_scale=jnp.float32(1.0))
+            pallas_block_diagonal_lstsq_aosoa(
+                op_a, op_b, b_delta=jnp.zeros((1, 1, 128), jnp.float32)
+            )
         )
-        assert np.allclose(xs1, x, rtol=0, atol=1e-6), "scaled-kernel mismatch"
+        assert np.allclose(xs1, x, rtol=0, atol=1e-6), "delta-kernel mismatch"
 
     def wall(iters: int, reps: int = 3) -> float:
         np.asarray(chained(op_a, op_b, chain_init, iters=iters))  # compile + warm

@@ -153,7 +153,7 @@ def _householder_inplace(a, rhs_list, br: int, bc: int):
 
 def _lstsq_kernel(
     br: int, bc: int, scaled: bool = False, stepnorm: bool = False,
-    chunked: bool = False,
+    chunked: bool = False, delta: bool = False,
 ):
     """Fused QR + LS-solve kernel for static block shape (br, bc).
 
@@ -163,23 +163,33 @@ def _lstsq_kernel(
     :func:`pallas_block_diagonal_lstsq_aosoa`).
     ``scaled=True`` adds a leading (1, 1) SMEM scalar that multiplies the rhs
     on load — a data-dependent rhs costs zero extra HBM traffic (LM drivers
-    and the bench's chained-dependency loop use this; solving for s·b is
-    s·x by linearity, so it composes with any caller-side rescale).
+    use this; solving for s·b is s·x by linearity, so it composes with any
+    caller-side rescale).
     ``stepnorm=True`` adds a trailing (1, 1) SMEM output accumulating
     ``Σ x²`` across grid steps — the LM trust-region step norm, produced
     while x is still in registers so a convergence check costs zero extra
     HBM reads (without it the caller re-reads the full x from HBM just to
     reduce it to one scalar).
+    ``delta=True`` (chunked only) adds a trailing (1, 1, 128) VMEM input
+    added to rhs row 0 on load — the cheapest data-dependency channel for
+    chained solves: unlike the SMEM scalar path, whose staging measured
+    ~0.9 µs of per-launch sync (SMEM round trip + the XLA carry fusion),
+    a one-tile VMEM operand rides the normal vector dataflow and leaves
+    the A/b streams dependency-free to overlap across launches (the
+    10k-block flagship point: 2.9 → 1.9 µs per chained solve).
     """
 
     def kernel(*refs):
         refs = list(refs)
         s = refs.pop(0)[0, 0] if scaled else None
         sn_ref = refs.pop() if stepnorm else None
+        d_ref = refs.pop(-2) if delta else None  # [a, b, delta, x]
         a_ref, b_ref, x_ref = refs
         if chunked:
             a = [[a_ref[:, r * bc + c] for c in range(bc)] for r in range(br)]
             rhs = [b_ref[:, r] for r in range(br)]
+            if delta:
+                rhs[0] = rhs[0] + d_ref[0]
         else:
             a = [[a_ref[r * bc + c] for c in range(bc)] for r in range(br)]
             rhs = [b_ref[r] for r in range(br)]
@@ -294,15 +304,17 @@ def _cps_for(nchunks: int) -> int:
     """Chunks-per-grid-step tier for the AoSoA layout: small batches run the
     whole axis as ONE grid step (≤ 16 chunks ≈ 1.5 MB VMEM for a 7×2 system —
     per-step fixed cost beats DMA/compute pipelining there, as measured for
-    the SoA tiers), else the largest of 4/2/1 that tiles the chunk count
-    (cps=4 measured best at 500k and 1M: 229 KB contiguous DMA per operand
-    per step)."""
+    the SoA tiers), else the largest of 10/8/5/4/2/1 that tiles the chunk
+    count (cps=10 re-measured best in round 5 once the delta-tile dependency
+    freed the streams to overlap: 0.93/0.96/0.94 of HBM peak at
+    100k/500k/1M vs 0.64/0.87/0.88 at the old cps=4; ~920 KB contiguous DMA
+    per operand per step).  Callers that control their own padding should
+    pad the chunk count to a multiple of 10 (see bench.py)."""
     if nchunks <= 16:
         return nchunks
-    if nchunks % 4 == 0:
-        return 4
-    if nchunks % 2 == 0:
-        return 2
+    for c in (10, 8, 5, 4, 2):
+        if nchunks % c == 0:
+            return c
     return 1
 
 
@@ -327,11 +339,13 @@ def from_aosoa(v4: jnp.ndarray) -> jnp.ndarray:
     return jnp.moveaxis(v4, 1, 0).reshape(rows, nch * _STEP)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "cps", "stepnorm"))
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "cps", "stepnorm")
+)
 def pallas_block_diagonal_lstsq_aosoa(
     a4: jnp.ndarray, b4: jnp.ndarray, interpret: bool = False,
     b_scale: jnp.ndarray | None = None, cps: int | None = None,
-    stepnorm: bool = False,
+    stepnorm: bool = False, b_delta: jnp.ndarray | None = None,
 ):
     """Chunk-major AoSoA fused QR + LS solve — the fastest layout at every
     measured batch size (see :func:`to_aosoa`).
@@ -342,6 +356,12 @@ def pallas_block_diagonal_lstsq_aosoa(
     and ``stepnorm`` behave exactly as in
     :func:`pallas_block_diagonal_lstsq_soa`.  ``cps`` (static) overrides the
     chunks-per-grid-step tier; it must tile ``n/1024``.
+
+    ``b_delta`` (optional ``[1, 1, 128]`` device array) is added to rhs row
+    0 of every chunk on load, through VMEM — the preferred data-dependency
+    channel for chained solves: it skips the SMEM scalar staging (~0.9 µs
+    of per-launch sync measured on the tunnel-attached v5e) and leaves the
+    A/b streams free to overlap across launches (see ``_lstsq_kernel``).
     """
     nch, ebc = a4.shape[0], a4.shape[1]
     br = b4.shape[1]
@@ -352,6 +372,7 @@ def pallas_block_diagonal_lstsq_aosoa(
         raise ValueError(f"cps={cps} does not tile the {nch} chunks")
     dt = a4.dtype
     scaled = b_scale is not None
+    delta = b_delta is not None
     in_specs = [
         pl.BlockSpec(
             (cps, ebc, _SUB, _LANE), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
@@ -361,6 +382,13 @@ def pallas_block_diagonal_lstsq_aosoa(
         ),
     ]
     args = (a4, b4)
+    if delta:
+        in_specs.append(
+            pl.BlockSpec(
+                (1, 1, _LANE), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+            )
+        )
+        args = args + (jnp.asarray(b_delta, dt).reshape(1, 1, _LANE),)
     if scaled:
         in_specs.insert(
             0, pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
@@ -377,7 +405,9 @@ def pallas_block_diagonal_lstsq_aosoa(
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         )
     out = pl.pallas_call(
-        _lstsq_kernel(br, bc, scaled=scaled, stepnorm=stepnorm, chunked=True),
+        _lstsq_kernel(
+            br, bc, scaled=scaled, stepnorm=stepnorm, chunked=True, delta=delta
+        ),
         out_shape=out_shape,
         grid=(nch // cps,),
         in_specs=in_specs,

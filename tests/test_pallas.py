@@ -194,8 +194,9 @@ def test_pallas_aosoa_matches_soa(rng):
 
     assert _cps_for(10) == 10       # single grid step at the flagship 10k
     assert _cps_for(16) == 16
-    assert _cps_for(492) == 4       # 500k tier
-    assert _cps_for(980) == 4       # 1M tier
+    assert _cps_for(490) == 10      # 500k tier (bench pads chunks to 10s)
+    assert _cps_for(980) == 10      # 1M tier
+    assert _cps_for(492) == 4       # un-padded chunk counts fall back
     assert _cps_for(18) == 2
     assert _cps_for(17) == 1
 
@@ -225,3 +226,25 @@ def test_pallas_aosoa_matches_soa(rng):
         )
         assert np.array_equal(np.asarray(from_aosoa(x4n)), x_soa)
         assert abs(float(sn) - want) < 1e-5 * want
+
+    # b_delta: the VMEM-tile dependency channel (the bench chain's carry)
+    # must equal solving with rhs row 0 of every block perturbed by the
+    # block's lane value, and be exact zero-delta pass-through
+    delta = rng.normal(size=(1, 1, 128)).astype(np.float32)
+    x4d = pallas_block_diagonal_lstsq_aosoa(
+        a4, b4, interpret=True, b_delta=jnp.asarray(delta), cps=2
+    )
+    b_pert = b.copy().reshape(nb // 1024, 8, 128, br)
+    b_pert[:, :, :, 0] += delta[0, 0]
+    a_ref = jnp.asarray(blocks.transpose(1, 2, 0).reshape(br * bc, nb))
+    b_ref = jnp.asarray(
+        np.ascontiguousarray(b_pert.reshape(nb, br).T)
+    )
+    want_d = np.asarray(
+        pallas_block_diagonal_lstsq_soa(a_ref, b_ref, interpret=True)
+    )
+    assert np.array_equal(np.asarray(from_aosoa(x4d)), want_d)
+    x40 = pallas_block_diagonal_lstsq_aosoa(
+        a4, b4, interpret=True, b_delta=jnp.zeros((1, 1, 128), jnp.float32)
+    )
+    assert np.array_equal(np.asarray(from_aosoa(x40)), x_soa)
