@@ -33,30 +33,110 @@ class BlockDiagonal:
     ``nrows/ncols`` may exceed ``nb*br`` / ``nb*bc`` (zero tail rows — the
     reference appends an identity Q tail for those,
     BlockDiagonalSparseQR.h:530-533).
+
+    Storage is either the AoS batch ``[nb, br, bc]`` (the shape a vmapped MXU
+    kernel wants for large blocks) or, via :meth:`from_soa`, the lane-major
+    SoA form ``[br*bc, nb]`` (entry (r, c) of block i at ``[r*bc + c, i]``).
+    For small blocks SoA is the only HBM-honest layout: a ``[N, 2, 1]`` f32
+    batch is physically tiled to ``[N, 8, 128]`` — a 512× padding blowup —
+    while the SoA twin stores the same values at 1× (CLAUDE.md lane-padding
+    hazard; the Pallas solver tier consumes SoA directly).  Either form
+    materializes the other lazily through :attr:`blocks` / :meth:`soa`
+    (cached outside the pytree so jit signatures stay stable).
     """
 
-    blocks: jnp.ndarray  # [nb, br, bc]
+    _blocks: Optional[jnp.ndarray]  # [nb, br, bc] or None (SoA storage)
     nrows: int
     ncols: int
+    _blocks_soa: Optional[jnp.ndarray] = None  # [br*bc, nb] or None
+    _br: Optional[int] = None  # static block shape (SoA storage only)
+    _bc: Optional[int] = None
+
+    def __post_init__(self):
+        if self._blocks is None and self._blocks_soa is None:
+            raise ValueError("BlockDiagonal needs AoS or SoA block storage")
 
     def tree_flatten(self):
-        return (self.blocks,), (self.nrows, self.ncols)
+        return (self._blocks, self._blocks_soa), (
+            self.nrows, self.ncols, self._br, self._bc,
+        )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], *aux)
+        return cls(children[0], aux[0], aux[1], children[1], aux[2], aux[3])
+
+    @classmethod
+    def from_soa(
+        cls,
+        blocks_soa: jnp.ndarray,
+        block_rows: int,
+        block_cols: int,
+        nrows: Optional[int] = None,
+        ncols: Optional[int] = None,
+    ) -> "BlockDiagonal":
+        """Wrap lane-major SoA block storage ``[br*bc, nb]`` (entry (r, c) of
+        block i at ``[r*bc + c, i]``) — the resident layout an LM loop should
+        keep for small blocks (zero physical padding; feeds the Pallas solver
+        tier without relayout)."""
+        ebc, nb = blocks_soa.shape
+        if ebc != block_rows * block_cols:
+            raise ValueError(
+                f"SoA row count {ebc} != block_rows*block_cols "
+                f"{block_rows * block_cols}"
+            )
+        return cls(
+            None,
+            nrows if nrows is not None else nb * block_rows,
+            ncols if ncols is not None else nb * block_cols,
+            jnp.asarray(blocks_soa),
+            block_rows,
+            block_cols,
+        )
+
+    @property
+    def blocks(self) -> jnp.ndarray:
+        """AoS batch [nb, br, bc] (materialized lazily from SoA storage)."""
+        if self._blocks is not None:
+            return self._blocks
+        cached = getattr(self, "_aos_cache", None)
+        if cached is None:
+            br, bc = self._br, self._bc
+            cached = jnp.transpose(
+                self._blocks_soa.reshape(br, bc, -1), (2, 0, 1)
+            )
+            object.__setattr__(self, "_aos_cache", cached)
+        return cached
+
+    def soa(self) -> jnp.ndarray:
+        """Lane-major SoA storage [br*bc, nb] (materialized lazily from AoS)."""
+        if self._blocks_soa is not None:
+            return self._blocks_soa
+        cached = getattr(self, "_soa_cache", None)
+        if cached is None:
+            nb, br, bc = self._blocks.shape
+            cached = jnp.transpose(self._blocks, (1, 2, 0)).reshape(
+                br * bc, nb
+            )
+            object.__setattr__(self, "_soa_cache", cached)
+        return cached
+
+    @property
+    def is_soa(self) -> bool:
+        return self._blocks_soa is not None
 
     @property
     def num_blocks(self) -> int:
-        return self.blocks.shape[0]
+        if self._blocks is not None:
+            return self._blocks.shape[0]
+        return self._blocks_soa.shape[1]
 
     @property
     def block_rows(self) -> int:
-        return self.blocks.shape[1]
+        return self._blocks.shape[1] if self._blocks is not None else self._br
 
     @property
     def block_cols(self) -> int:
-        return self.blocks.shape[2]
+        return self._blocks.shape[2] if self._blocks is not None else self._bc
 
     @property
     def shape(self) -> Tuple[int, int]:

@@ -47,6 +47,74 @@ class QFormat(enum.Enum):
     BLOCK_DIAGONAL_Q = 1
 
 
+@functools.partial(
+    jax.jit, static_argnames=("br", "ncols", "nb", "interpret", "aos")
+)
+@highest_precision
+def _pallas_compute(
+    a_in, *, br: int, ncols: int, nb: int, interpret: bool, aos: bool
+):
+    """Fused SoA factorize: pad the lane-major block batch to the kernel
+    granularity (unit-diagonal pad blocks), run the packed-R Pallas kernel,
+    and fold the health probe — ONE compiled program, lane-major throughout
+    (the AoS ``[nb, br, bc]`` store this replaces is 128/bc-fold physically
+    padded in HBM).  Returns ``(a_pad [br*bc, npad], r_soa [ntri, npad],
+    health)``; ``a_pad`` stays resident as the implicit Q — applies/solves
+    re-run the fused kernel, which for small blocks is cheaper than storing
+    and re-reading an explicit Q."""
+    from ..ops.pallas_blockdiag import (
+        _pad_soa_identity,
+        pallas_block_diagonal_qr_r_soa,
+    )
+    from .base import _diag_health
+
+    if aos:  # AoS input: relayout inside the one fused program
+        bc = a_in.shape[2]
+        a_soa = jnp.transpose(a_in, (1, 2, 0)).reshape(br * bc, nb)
+    else:
+        a_soa = a_in
+        bc = a_soa.shape[0] // br
+    a_pad = _pad_soa_identity(a_soa, bc, nb)
+    r_soa = pallas_block_diagonal_qr_r_soa(a_pad, br, interpret=interpret)
+    # diag of block i, col j sits at packed row j*bc - j*(j-1)//2 + 0
+    didx = [j * bc - j * (j - 1) // 2 for j in range(bc)]
+    d = jnp.transpose(r_soa[jnp.asarray(didx)][:, :nb], (1, 0)).reshape(-1)
+    if ncols > nb * bc:
+        d = jnp.concatenate([d, jnp.zeros((ncols - nb * bc,), d.dtype)])
+    return a_pad, r_soa, _diag_health(d[:ncols], check_zero=True)
+
+
+@functools.partial(jax.jit, static_argnames=("br", "ncols", "nb", "interpret"))
+@highest_precision
+def _pallas_solve_vec(
+    a_pad, b, *, br: int, ncols: int, nb: int, interpret: bool
+):
+    """Fused SoA least-squares solve against the resident padded operand:
+    relayout b lane-major, one fused QR+solve kernel launch, relayout x —
+    ONE compiled program.  Recomputing the QR per solve is the TPU-honest
+    choice at small block sizes: the kernel is HBM-bound and its operand
+    bytes are SMALLER than an explicit [nb, br, br] Q store (which would
+    also be 128/br-fold lane-padded)."""
+    from ..ops.pallas_blockdiag import (
+        _pad_soa_zero,
+        pallas_block_diagonal_lstsq_soa,
+    )
+
+    ebc = a_pad.shape[0]
+    bc = ebc // br
+    b_soa = jnp.transpose(b[: nb * br].reshape(nb, br), (1, 0))
+    x_soa = pallas_block_diagonal_lstsq_soa(
+        a_pad, _pad_soa_zero(b_soa, nb), interpret=interpret
+    )
+    # x relayout via transpose (bc rows only; a strided scatter form
+    # measured 10x worse — TPU scatters, not transposes, are the hazard
+    # on the output side)
+    x = jnp.transpose(x_soa[:, :nb], (1, 0)).reshape(-1)
+    if ncols > nb * bc:
+        x = jnp.concatenate([x, jnp.zeros((ncols - nb * bc,), x.dtype)])
+    return x[:ncols]
+
+
 @functools.partial(jax.jit, static_argnames=("pivot",))
 @highest_precision
 def _factorize_blocks(blocks: jnp.ndarray, pivot: bool = True):
@@ -89,14 +157,56 @@ class BlockDiagonalQR(QRSolver):
         pivot: bool = True,
         mesh=None,
         axis: str = "dp",
+        use_pallas="auto",
     ):
         self.q_format = q_format
         self.pivot = pivot
         self.mesh = mesh
         self.axis = axis
+        # ``use_pallas``: "auto" (default) routes compute/solve through the
+        # lane-batched SoA Pallas kernels on a TPU backend when the block
+        # geometry supports them (non-pivot portrait small blocks, no mesh)
+        # — factors stay lane-major ([N, 2, 1] AoS stores are 512x
+        # physically padded, the CLAUDE.md hazard; the kernel tier measured
+        # ~17x faster than the vmapped XLA path at 10k 7x2 blocks); True
+        # demands them (raising if unsupported), False keeps the XLA path.
+        # ``_pallas_interpret`` (tests) runs the kernels interpreted.
+        self.use_pallas = use_pallas
+        self._pallas_interpret = False
+        self._pallas_mode = False
         # per-block ColPiv is rank-revealing: deficiency reported via rank()
         self._health_check_zero_pivot = not pivot
         self._computed = False
+
+    def _pallas_supported(self, mat: BlockDiagonal) -> bool:
+        br, bc = mat.block_rows, mat.block_cols
+        return (
+            not self.pivot
+            and self.mesh is None
+            and br >= bc
+            and br * bc <= 64
+            and mat.nrows >= mat.num_blocks * br
+        )
+
+    def _pallas_active(self, mat: BlockDiagonal) -> bool:
+        if self.use_pallas is False:
+            return False
+        sup = self._pallas_supported(mat)
+        if self.use_pallas is True:
+            if not sup:
+                raise ValueError(
+                    "use_pallas=True but this factorization is not supported "
+                    "by the SoA Pallas tier (needs pivot=False, mesh=None, "
+                    "portrait blocks with br*bc <= 64); use use_pallas='auto'"
+                )
+            return True
+        if not sup:
+            return False
+        if self._pallas_interpret:
+            return True
+        return (
+            jax.default_backend() == "tpu" and not jax.config.jax_enable_x64
+        )
 
     # --- QRSolver shape -------------------------------------------------------------
     @property
@@ -126,6 +236,23 @@ class BlockDiagonalQR(QRSolver):
         self._bc = mat.block_cols
         self._tail = mat.nrows - self._nb * self._br
         self._row_perm = row_perm if row_perm is not None else Permutation.identity(mat.nrows)
+
+        self._pallas_mode = self._pallas_active(mat)
+        if self._pallas_mode:
+            # lane-major fused tier: packed R + resident operand (implicit
+            # Q); dense Q/R materialize lazily for the protocol surfaces
+            # that need them (_ensure_dense_factors)
+            self._a_pad, self._r_soa, health = _pallas_compute(
+                mat._blocks_soa if mat.is_soa else mat.blocks,
+                br=self._br, ncols=self._ncols, nb=self._nb,
+                interpret=self._pallas_interpret, aos=not mat.is_soa,
+            )
+            self.Q = self.R = None
+            self._local_perm_dev = None
+            self._cols_perm = Permutation.identity(self._ncols)
+            self._computed = True
+            self._set_success(health)
+            return self
 
         blocks = mat.blocks
         if self.mesh is not None:
@@ -157,6 +284,7 @@ class BlockDiagonalQR(QRSolver):
         (BlockAngularQR's dense-A2 fast path) — identical post-conditions to
         :meth:`compute` for the non-pivoting portrait no-mesh case."""
         assert not self.pivot and self.mesh is None
+        self._pallas_mode = False
         self._landscape = mat.block_cols > mat.block_rows
         self._nrows, self._ncols = mat.nrows, mat.ncols
         self._nb = mat.num_blocks
@@ -169,11 +297,38 @@ class BlockDiagonalQR(QRSolver):
         self._computed = True
         self._set_success(health)
 
+    def _ensure_dense_factors(self) -> None:
+        """Materialize the explicit per-block Q/R batch from the Pallas
+        tier's resident SoA operand — lazily, only for the protocol surfaces
+        that genuinely need a dense factor (sparse Q/R export, applies on
+        arbitrary operands).  The hot paths (compute / solve / r_diagonal /
+        rank / health) never call this."""
+        if not self._pallas_mode or self.Q is not None:
+            return
+        nb, br, bc = self._nb, self._br, self._bc
+        blocks = jnp.transpose(
+            self._a_pad[:, :nb].reshape(br, bc, nb), (2, 0, 1)
+        )
+        self.Q, self.R, _ = _factorize_blocks(blocks, pivot=False)
+
+    def _r_diagonal_soa(self) -> jnp.ndarray:
+        didx = [j * self._bc - j * (j - 1) // 2 for j in range(self._bc)]
+        d = jnp.transpose(
+            self._r_soa[jnp.asarray(didx)][:, : self._nb], (1, 0)
+        ).reshape(-1)
+        if self._ncols > d.shape[0]:
+            d = jnp.concatenate(
+                [d, jnp.zeros((self._ncols - d.shape[0],), d.dtype)]
+            )
+        return d[: self._ncols]
+
     def r_diagonal(self) -> jnp.ndarray:
         """Pivot diagonal of R straight from the [nb, k, bc] batch — no dense
         R.  Portrait: [ncols] (columns past nb*bc — the zero tail — report 0:
         they are genuinely rank-deficient).  Landscape: the nb*br leading
         pivots (the only diagonal a wide R has)."""
+        if self._pallas_mode:
+            return self._r_diagonal_soa()
         d = jnp.diagonal(self.R, axis1=1, axis2=2).reshape(-1)
         if self._landscape:
             return d
@@ -198,6 +353,7 @@ class BlockDiagonalQR(QRSolver):
 
     @highest_precision
     def apply_qt(self, m: jnp.ndarray) -> jnp.ndarray:
+        self._ensure_dense_factors()
         vec = m.ndim == 1
         m2 = m[:, None] if vec else m
         k = m2.shape[1]
@@ -217,6 +373,7 @@ class BlockDiagonalQR(QRSolver):
 
     @highest_precision
     def apply_q(self, m: jnp.ndarray) -> jnp.ndarray:
+        self._ensure_dense_factors()
         vec = m.ndim == 1
         m2 = m[:, None] if vec else m
         k = m2.shape[1]
@@ -236,6 +393,7 @@ class BlockDiagonalQR(QRSolver):
 
     # --- R --------------------------------------------------------------------------
     def matrix_r_dense(self) -> jnp.ndarray:
+        self._ensure_dense_factors()
         nb, br, bc = self._nb, self._br, self._bc
         k = min(br, bc)
         R = np.zeros((self._nrows, self._ncols), dtype=np.asarray(self.R).dtype)
@@ -249,6 +407,7 @@ class BlockDiagonalQR(QRSolver):
         return jnp.asarray(R)
 
     def solve_r(self, y: jnp.ndarray) -> jnp.ndarray:
+        self._ensure_dense_factors()
         if self._landscape:
             return self._solve_r_landscape(y)
         assert self.q_format == QFormat.FULL_Q, "solve_r requires FULL_Q"
@@ -273,6 +432,18 @@ class BlockDiagonalQR(QRSolver):
         return x
 
     @highest_precision
+    def solve(self, b: jnp.ndarray) -> jnp.ndarray:
+        """Least-squares solve.  In the Pallas tier a vector RHS runs as ONE
+        fused QR+solve kernel launch against the resident SoA operand (the
+        generic apply_qt → solve_r composition would materialize the dense Q
+        first); matrix RHS and the XLA mode use the generic path."""
+        if self._pallas_mode and b.ndim == 1:
+            return _pallas_solve_vec(
+                self._a_pad, b, br=self._br, ncols=self._ncols, nb=self._nb,
+                interpret=self._pallas_interpret,
+            )
+        return super().solve(b)
+
     def _solve_r_landscape(self, y: jnp.ndarray) -> jnp.ndarray:
         """Basic solution of the underdetermined per-block systems: the wide
         [br, bc] trapezoid is embedded in a [bc, bc] triangle whose dead tail
@@ -316,6 +487,7 @@ class BlockDiagonalQR(QRSolver):
         return self._row_perm
 
     def matrix_r_sparse(self):
+        self._ensure_dense_factors()
         """Sparse R in O(nnz(R)): block-diagonal of per-block upper triangles
         (the triplets BlockDiagonalSparseQR.h:475-479 emplaces).  Landscape
         blocks contribute their wide upper trapezoids at rows ``i*br``."""
@@ -334,6 +506,7 @@ class BlockDiagonalQR(QRSolver):
         )
 
     def matrix_q_sparse(self):
+        self._ensure_dense_factors()
         """Explicit *sparse* Q in O(nnz(Q)) = O(nb·br²) memory — the
         two-shifted-diagonal assembly of BlockDiagonalSparseQR.h:455-506.
 
