@@ -151,12 +151,122 @@ def bench_one(N, reps, rng):
 
     fus = _quotient(run_fused, reps)
 
+    # lane-major resident path (round 5): SoA left blocks + transposed
+    # right block — the layout an LM loop keeps; the AoS containers above
+    # are 512x/25x physically lane-padded in HBM, which bounds their
+    # refactorize at <1% of peak regardless of the program
+    from qrkit_tpu.containers import BlockDiagonal as _BD
+
+    soa0 = jnp.asarray(
+        np.ascontiguousarray(blocks.transpose(1, 2, 0).reshape(2, N))
+    )
+    a2t0 = jnp.asarray(np.ascontiguousarray(a2.T))
+    qs = _solver()
+
+    def mk_soa(s, at):
+        return BlockMatrix1x2(
+            _BD.from_soa(s, 2, 1, nrows=2 * N), at, right_t=True
+        )
+
+    qs.compute(mk_soa(soa0, a2t0))
+    assert qs._fused_soa, "SoA fused path must engage"
+    qs.compute(mk_soa(soa0, a2t0))
+
+    # protocol walltime (eager per-call dispatches — floored at the tunnel's
+    # ~1 ms pipelined launch latency on this rig):
+    def run_refac_soa(K):
+        t0 = time.perf_counter()
+        s, at = soa0, a2t0
+        for _ in range(K):
+            s = s * dtype(1 + 1e-9)
+            at = at * dtype(1 + 1e-9)
+            qs.compute(mk_soa(s, at))
+        _fetch(qs._sR2)
+        return time.perf_counter() - t0
+
+    refac_soa_protocol = _quotient(run_refac_soa, reps)
+
+    # device-side steady state of the SAME programs, scan-chained with a
+    # data dependency (exactly how bench.py times the flagship kernel —
+    # per-call eager dispatch latency would otherwise floor every sub-ms
+    # program at ~1 ms and say nothing about the solver):
+    import functools as _ft
+
+    from qrkit_tpu.solvers.block_angular_fused import (
+        fused_soa_compute,
+        fused_soa_compute_solve,
+        fused_soa_solve,
+    )
+
+    fkw = dict(br=2, bc=1, colpiv=True, aos=False, a2_aos=False)
+
+    @_ft.partial(jax.jit, static_argnames=("iters",))
+    def ch_fac(soa, a2t, iters):
+        def body(c, _):
+            out = fused_soa_compute(soa * c, a2t, **fkw)
+            return 1.0 + 1e-12 * out[6][0, 0], None
+
+        f, _ = jax.lax.scan(
+            body, jnp.asarray(1.0, dtype), None, length=iters, unroll=4
+        )
+        return f
+
+    sfac = qs._sU1, qs._sc1, qs._sR1, qs._sU2, qs._sc2, qs._sR2
+    perm2, r12t = qs._fused_perm2, qs._sr12t
+
+    @_ft.partial(jax.jit, static_argnames=("iters",))
+    def ch_sol(b, iters):
+        def body(c, _):
+            x = fused_soa_solve(
+                sfac[0], sfac[1], sfac[2], sfac[3], sfac[4], sfac[5],
+                perm2, r12t, b * c, colpiv=True,
+            )
+            return 1.0 + 1e-12 * x[0], None
+
+        f, _ = jax.lax.scan(
+            body, jnp.asarray(1.0, dtype), None, length=iters, unroll=4
+        )
+        return f
+
+    @_ft.partial(jax.jit, static_argnames=("iters",))
+    def ch_cs(soa, a2t, b, iters):
+        def body(c, _):
+            out = fused_soa_compute_solve(soa * c, a2t, b, **fkw)
+            return 1.0 + 1e-12 * out[-1][0], None
+
+        f, _ = jax.lax.scan(
+            body, jnp.asarray(1.0, dtype), None, length=iters, unroll=4
+        )
+        return f
+
+    def _scan_quotient(fn, args, lo, hi):
+        def wall(iters, r=3):
+            _fetch(fn(*args, iters=iters))
+            best = float("inf")
+            for _ in range(r):
+                t0 = time.perf_counter()
+                _fetch(fn(*args, iters=iters))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        return (wall(hi) - wall(lo)) / (hi - lo)
+
+    lo, hi = (1000, 9000) if N <= 20_000 else (100, 900)
+    refac_soa = _scan_quotient(ch_fac, (soa0, a2t0), lo, hi)
+    sol_soa = _scan_quotient(ch_sol, (b_d,), lo, hi)
+    cs_soa = _scan_quotient(ch_cs, (soa0, a2t0, b_d), lo, hi)
+
+    x_soa_sol = np.asarray(qs.solve(b_d), np.float64)
+
     x = np.asarray(qr.solve(b_d), np.float64)
     num = np.zeros(2 * N)
     num[0::2] = blocks[:, 0, 0] * x[:N]
     num[1::2] = blocks[:, 1, 0] * x[:N]
     num += a2 @ x[N:]
     rel = float(np.linalg.norm(num - b) / np.linalg.norm(b))
+    rel_soa = float(
+        np.linalg.norm(x_soa_sol - x) / max(np.linalg.norm(x), 1e-30)
+    )
 
     peak_bw = _peak_hbm_bytes_per_s(jax.devices()[0].device_kind)
     isz = np.dtype(dtype).itemsize
@@ -164,6 +274,16 @@ def bench_one(N, reps, rng):
     in_bytes = blocks.size * isz + a2.size * isz
     refac_bytes = in_bytes + fbytes
     solve_bytes = fbytes + (2 * N + N + M2) * isz
+    # SoA-path roofline: same logical bytes (values in + lane-major factor
+    # stores out), now matching the PHYSICAL traffic because no boundary
+    # array is lane-padded
+    soa_factors = [qs._sU1, qs._sc1, qs._sR1, qs._sU2, qs._sc2, qs._sR2,
+                   qs._sr12t]
+    soa_fbytes = int(
+        sum(np.prod(x.shape) * x.dtype.itemsize for x in soa_factors)
+    )
+    refac_soa_bytes = in_bytes + soa_fbytes
+    solve_soa_bytes = soa_fbytes + (2 * N + N + M2) * isz
     return {
         "N": N,
         "rows": 2 * N,
@@ -172,11 +292,20 @@ def bench_one(N, reps, rng):
         "refactorize_device_ms": round(refac * 1e3, 3),
         "solve_ms": round(sol * 1e3, 3),
         "fused_lstsq_ms": round(fus * 1e3, 3),
+        "refactorize_soa_ms": round(refac_soa * 1e3, 4),
+        "solve_soa_ms": round(sol_soa * 1e3, 4),
+        "compute_solve_soa_ms": round(cs_soa * 1e3, 4),
+        "refactorize_soa_protocol_ms": round(refac_soa_protocol * 1e3, 3),
         "refactorize_bytes_moved": refac_bytes,
         "refactorize_hbm_frac": round(refac_bytes / refac / peak_bw, 4),
+        "refactorize_soa_hbm_frac": round(
+            refac_soa_bytes / refac_soa / peak_bw, 4
+        ),
         "solve_bytes_moved": solve_bytes,
         "solve_hbm_frac": round(solve_bytes / sol / peak_bw, 4),
+        "solve_soa_hbm_frac": round(solve_soa_bytes / sol_soa / peak_bw, 4),
         "rel_resid": rel,
+        "rel_soa_vs_aos": rel_soa,
         "backend": jax.default_backend(),
     }
 

@@ -207,10 +207,18 @@ class BlockMatrix1x2:
     ``left`` may be a SparseCSR, BlockDiagonal, or dense array; ``right`` is
     typically dense ([m, m2]) or SparseCSR.  Blocks must share a row count
     (BlockMatrix1x2.h:42).
+
+    ``right_t=True`` marks a dense right block stored TRANSPOSED
+    (``[m2, m]`` — the m2 angular columns as rows).  For small m2 this is
+    the only HBM-honest resident layout: a ``[2N, 5]`` f32 array is
+    physically tiled to ``[2N, 128]`` — a 25× padding blowup — while the
+    transposed store is 1× and feeds the lane-major fused solver path
+    without relayout.
     """
 
     left: Any
     right: Any
+    right_t: bool = False
 
     def __post_init__(self):
         assert self.left_rows == self.right_rows, "row counts must match"
@@ -237,6 +245,8 @@ class BlockMatrix1x2:
 
     @property
     def right_rows(self) -> int:
+        if self.right_t:
+            return int(self.right.shape[1])
         return self._rows(self.right)
 
     @property
@@ -245,6 +255,8 @@ class BlockMatrix1x2:
 
     @property
     def right_cols(self) -> int:
+        if self.right_t:
+            return int(self.right.shape[0])
         return self._cols(self.right)
 
     @property
