@@ -2,14 +2,22 @@
 
 Times the fused refactorize and solve programs truncated after each stage
 (the `upto` static arg of the builders in segmented_factorize/segmented_solve)
-with the difference-of-two-rep-counts quotient, each rep on fresh values and
-every timing fenced by an actual value fetch (tunnel rules — CLAUDE.md).
-Successive differences of the cumulative times are the per-stage costs.
+as SCAN-CHAINED device steady state — each truncation runs as a
+`lax.scan` of data-dependent iterations inside ONE dispatch, timed by the
+difference of two chain lengths with a real value fetch as the fence
+(tunnel rules — CLAUDE.md).  Round 5: the previous eager per-call
+chaining put every truncation behind the tunnel's ~1 ms pipelined
+per-dispatch issue latency, whose jitter swamped sub-ms stages (two runs
+disagreed 10x on the same solve truncation — BANDED_PERF.md round 4);
+in-scan chaining removes the issue path entirely.  Successive differences
+of the cumulative times are the per-stage costs.
 
 Usage: python examples/profile_segmented.py [config3|NBLOCKS] [reps]
+(`reps` scales the chain lengths: LO=25*reps, HI=225*reps iterations.)
 Writes one JSON line; human-readable budget on stderr.  Results land in
 BANDED_PERF.md.
 """
+import functools
 import json
 import sys
 import time
@@ -73,18 +81,46 @@ def main():
     fac = qr._get_factorize_fn(qr._pallas_active())
     meta = qr._fac_meta
 
+    lo_i, hi_i = 25 * reps, 225 * reps
+
+    def _scan_quotient(chain, args):
+        def wall(iters, r=3):
+            _fetch(chain(*args, iters=iters))
+            best = float("inf")
+            for _ in range(r):
+                t0 = time.perf_counter()
+                _fetch(chain(*args, iters=iters))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        return (wall(hi_i) - wall(lo_i)) / (hi_i - lo_i)
+
     fac_stages = ["extract", "phase1", "p2slab", "caqr", "chain", "all"]
     fac_cum = {}
     for st in fac_stages:
-        def run(K, st=st):
-            t0 = time.perf_counter()
-            v = vals0
-            for i in range(K):
-                v = v * dtype(1 + 1e-9)
-                out = fac(v, meta) if st == "all" else fac(v, meta, upto=st)
-            _fetch(out[2] if st == "all" else out)
-            return time.perf_counter() - t0
-        fac_cum[st] = _time_chain(run, reps)
+
+        @functools.partial(jax.jit, static_argnames=("iters",))
+        def fac_chain(vals0, meta, iters, st=st):
+            def body(c, _):
+                v = vals0 * c
+                if st == "all":
+                    out = fac(v, meta)
+                    # touch EVERY output leaf or XLA dead-code-eliminates
+                    # whole stages out of the chained full program
+                    probe = sum(
+                        x.ravel()[0].astype(dtype)
+                        for x in jax.tree_util.tree_leaves(out)
+                    )
+                else:
+                    probe = fac(v, meta, upto=st)
+                return 1.0 + 1e-12 * probe.astype(dtype), None
+
+            f, _ = jax.lax.scan(
+                body, jnp.asarray(1.0, dtype), None, length=iters
+            )
+            return f
+
+        fac_cum[st] = _scan_quotient(fac_chain, (vals0, meta))
 
     b = jnp.asarray(rng.normal(size=mat.nrows))
     qr.solve(b)
@@ -94,16 +130,23 @@ def main():
     sol_stages = ["qt", "chainqt", "backsub2", "rhs", "all"]
     sol_cum = {}
     for st in sol_stages:
-        def run(K, st=st):
-            t0 = time.perf_counter()
-            bb = b
-            for i in range(K):
-                bb = bb * dtype(1 + 1e-9)
-                out = (sol(*fargs, bb, qr._sol_meta) if st == "all"
-                       else sol(*fargs, bb, qr._sol_meta, upto=st))
-            _fetch(out)
-            return time.perf_counter() - t0
-        sol_cum[st] = _time_chain(run, reps)
+
+        @functools.partial(jax.jit, static_argnames=("iters",))
+        def sol_chain(fargs, b, smeta, iters, st=st):
+            def body(c, _):
+                bb = b * c
+                if st == "all":
+                    probe = sol(*fargs, bb, smeta).ravel()[0]
+                else:
+                    probe = sol(*fargs, bb, smeta, upto=st)
+                return 1.0 + 1e-12 * probe.astype(dtype), None
+
+            f, _ = jax.lax.scan(
+                body, jnp.asarray(1.0, dtype), None, length=iters
+            )
+            return f
+
+        sol_cum[st] = _scan_quotient(sol_chain, (fargs, b, qr._sol_meta))
 
     def budget(cum, order):
         out, prev = {}, 0.0
