@@ -96,6 +96,10 @@ def main():
         return (wall(hi_i) - wall(lo_i)) / (hi_i - lo_i)
 
     fac_stages = ["extract", "phase1", "p2slab", "caqr", "chain", "all"]
+    if qr._pallas_active():
+        # phase-1 sub-stages (Pallas mode): extract already covers the
+        # "panels" probe (panel gather + slab gather), so start at shift
+        fac_stages[1:1] = ["shift", "soatr", "kernel"]
     fac_cum = {}
     for st in fac_stages:
 

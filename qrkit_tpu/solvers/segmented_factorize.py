@@ -166,6 +166,7 @@ def build_factorize_fn(self, pallas_on: bool = False):
         )
         return Yws, Ts, Vs, None
 
+    merged_on = False
     if pallas_on:
         from ..ops.householder import build_t_factor
         from ..ops.pallas_banded import pallas_segment_chains_soa
@@ -175,21 +176,113 @@ def build_factorize_fn(self, pallas_on: bool = False):
         interp = self._pallas_interpret
         npad = self._pallas_npad
 
-        def _phase1(pad, meta):
-            pj = _extract_panels(pad, meta)  # [S*L, mR, max_cols]
-            shifted = _shift_panels(
-                pj, meta["carry_d"], meta["nrows_d"], ma
-            ).reshape(S, L, ma * max_cols)
+        # Merged gather-free extract+shift (round 5): the rank-3
+        # [S*L, mR, mc] panel tensor has an mc ≪ 128 minor dim, so both the
+        # masked extraction and the take_along_axis row shift run 16×
+        # lane-padded (measured 0.59 + 0.42 ms of the 3.99 ms config-3
+        # refactorize).  When the per-step carry is CONSTANT across active
+        # segments (every uniform interior geometry — the tail steps where
+        # carry reads 0 are inactive and their panels mask to zero anyway),
+        # the shift is a static pad+slice: keep the panels merged as
+        # [S, L, mR*mc] (minor dim ≥ 128, no physical padding) and take one
+        # lax.slice per DISTINCT carry value, selecting per step.  No
+        # gather, no rank-3 intermediate.
+        sst = None
+        if pf is not None and not getattr(self, "_disable_merged_extract", False):
+            cr_h = np.asarray(self._loc_geom["carry_rows"])
+            act_h = np.asarray(self._active)
+            vals = []
+            for l in range(L):
+                u = np.unique(cr_h[:, l][act_h[:, l]])
+                if u.size > 1:
+                    vals = None
+                    break
+                vals.append(int(u[0]) if u.size else 0)
+            if vals is not None and len(set(vals)) <= 4:
+                sst = vals
+                merged_on = True
+        if sst is not None:
+            d0_m = pf["d0"]
+            ew_m = ew
+            emc = ma * max_cols
+            _starts_m = [(h1 - c) * max_cols for c in sst]
+            _endpad_m = max(
+                0, max(st + emc for st in _starts_m) - (h1 * max_cols + ew_m)
+            )
+
+            def _base_merged(pad, meta):
+                data = pad[:-1]
+                flat = (
+                    jnp.concatenate(
+                        [data, jnp.zeros((need - data.shape[0],), data.dtype)]
+                    )
+                    if data.shape[0] < need
+                    else data[:need]
+                )
+                maskm = meta["panel_mask"].reshape(S * L, ew_m)
+                base = jnp.where(
+                    maskm, flat.reshape(S * L, ew_m), jnp.zeros((), data.dtype)
+                ).reshape(S, L, ew_m)
+                if d0_m:
+                    seg = flat.reshape(S, L * ew_m)
+                    l0 = jax.lax.slice(seg, (0, d0_m), (S, d0_m + ew_m))
+                    m0 = maskm.reshape(S, L, ew_m)[:, 0]
+                    sel = meta["panel_l0shift"][:, None] & m0
+                    base = base.at[:, 0].set(jnp.where(sel, l0, base[:, 0]))
+                return base
+
+            def _shifted_merged(base):
+                parts = [jnp.zeros((S, L, h1 * max_cols), base.dtype), base]
+                if _endpad_m:
+                    parts.append(jnp.zeros((S, L, _endpad_m), base.dtype))
+                big = jnp.concatenate(parts, axis=2)
+                uniq = sorted(set(_starts_m))
+                slabs = {
+                    v: jax.lax.slice(big, (0, 0, v), (S, L, v + emc))
+                    for v in uniq
+                }
+                out = slabs[uniq[0]]
+                st_arr = np.asarray(_starts_m)
+                for v in uniq[1:]:
+                    mask_l = jnp.asarray(st_arr == v)[None, :, None]
+                    out = jnp.where(mask_l, slabs[v], out)
+                return out
+
+        def _phase1(pad, meta, upto=None):
+            if sst is not None:
+                base = _base_merged(pad, meta)
+                if upto == "panels":
+                    return jnp.sum(base)
+                shifted = _shifted_merged(base)
+                if upto == "shift":
+                    return jnp.sum(shifted)
+            else:
+                pj = _extract_panels(pad, meta)  # [S*L, mR, max_cols]
+                if upto == "panels":
+                    return jnp.sum(pj)
+                shifted = _shift_panels(
+                    pj, meta["carry_d"], meta["nrows_d"], ma
+                ).reshape(S, L, ma * max_cols)
+                if upto == "shift":
+                    return jnp.sum(shifted)
             # SoA relayout as ONE dense transpose on device — a
             # [L, ma*mc, npad] element gather map was measured at 72 ms
             # for a 625k-lane case where the panel bytes themselves are
             # ~7 ms of HBM traffic
             soa = jnp.moveaxis(shifted, 0, -1)  # [L, ma*mc, S]
             soa = jnp.pad(soa, ((0, 0), (0, 0), (0, npad - S)))
+            if upto == "soatr":
+                return jnp.sum(soa)
             y_soa, tau_soa, v_soa = pallas_segment_chains_soa(
                 soa, meta["act_soa"], ma=ma, mc=max_cols, mca=mca,
                 me=me, ci=ci_body, ci0_rest=ci0_rest, interpret=interp,
             )
+            if upto == "kernel":
+                return (
+                    jnp.sum(v_soa)
+                    + jnp.sum(y_soa[0, 0])
+                    + jnp.sum(tau_soa[0, 0])
+                )
             Yws = jnp.moveaxis(y_soa[:, :, :S], -1, 0).reshape(
                 S, L, ma, max_cols
             )
@@ -312,7 +405,16 @@ def build_factorize_fn(self, pallas_on: bool = False):
         pad = jnp.concatenate([data, jnp.zeros((1,), dtype)])
         slab_t = _extract_slab(pad, meta)  # [S, 2o, seg_rows(pad)] lane-major
         if upto == "extract":
+            if pallas_on and merged_on:
+                # measure the production merged panel base, not the legacy
+                # rank-3 extraction (dead code when the merged path is on)
+                return _phase1(pad, meta, upto="panels") + jnp.sum(slab_t)
             return jnp.sum(_extract_panels(pad, meta)) + jnp.sum(slab_t)
+        if pallas_on and upto in ("panels", "shift", "soatr", "kernel"):
+            # phase-1 sub-stage probes (Pallas mode only): each is a true
+            # prefix of the pipeline; keep the slab gather live like the
+            # main probes so cumulatives stay monotone
+            return _phase1(pad, meta, upto=upto) + jnp.sum(slab_t)
         Yws, Ts, Vs, soa = _phase1(pad, meta)
         if upto == "phase1":
             # keep slab extraction live (jnp.sum(slab_t)) so this probe is a
@@ -430,5 +532,6 @@ def build_factorize_fn(self, pallas_on: bool = False):
 
     self._fac_fn = fac
     self._fac_mode = pallas_on
+    self._merged_extract = merged_on
     return fac
 

@@ -68,6 +68,45 @@ def test_fused_w_apply_matches_xla_tall_blocks(rng):
     assert np.allclose(x, x_true, atol=1e-7), np.abs(x - x_true).max()
 
 
+def test_merged_extract_gate_and_equivalence(rng):
+    """The gather-free merged extract+shift (static pad+slice on the
+    [S, L, mR*mc] layout, round 5) must engage on uniform row-sorted
+    geometry with a partial tail segment (the production config-3 shape)
+    and reproduce the legacy rank-3 extract + take_along_axis shift
+    factors exactly.  A FULL final segment makes the global last block's
+    carry differ from its step peers and must fall back to the legacy
+    path (gate rejects non-constant active carry)."""
+    mat = tall_banded_matrix(43, rng, br=10, bc=4, ov=2)  # 43 % 8 != 0
+
+    def _solver(disable):
+        q = SegmentedBandedQR(
+            suggested_block_cols=4, segment_blocks=8, use_pallas=True
+        )
+        q._pallas_interpret = True
+        if disable:
+            q._disable_merged_extract = True
+        q.compute(mat)
+        return q
+
+    qm, qd = _solver(False), _solver(True)
+    assert qm._merged_extract is True, "merged extract gate must fire"
+    assert qd._merged_extract is False
+    for name in ("_Yws", "_Ts", "_r_panels", "_chain_r", "_j2_top"):
+        a, b = np.asarray(getattr(qm, name)), np.asarray(getattr(qd, name))
+        assert np.array_equal(a, b), (name, np.abs(a - b).max())
+    x_true = rng.normal(size=mat.ncols)
+    b = qm.rows_permutation().apply(mat.to_dense() @ x_true)
+    x = np.asarray(qm.solve(jnp.asarray(b)))
+    assert np.allclose(x, x_true, atol=1e-7)
+    # the full-final-segment variant rejects (carry {2,4} at the last step)
+    q64 = SegmentedBandedQR(
+        suggested_block_cols=4, segment_blocks=8, use_pallas=True
+    )
+    q64._pallas_interpret = True
+    q64.compute(tall_banded_matrix(64, rng, br=10, bc=4, ov=2))
+    assert q64._merged_extract is False
+
+
 def test_auto_selects_xla_on_cpu(rng):
     # 'auto' must not enable the Mosaic kernel off-TPU (or under x64)
     spj = overlapping_block_diagonal_matrix(128, 448, rng, False)
